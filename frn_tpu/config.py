@@ -1,0 +1,178 @@
+"""Typed configuration tree for the whole framework.
+
+Replaces the reference's per-script argparse defaults and string-keyed dataset
+branching (reference: train_dsec.py:35-52, model.py:47-56, dataloader.py:459-534)
+with one dataclass tree. Every geometry-dependent constant lives here so that model
+code is shape-polymorphic and trace-time static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """RetinaNet anchor grid. Reference: retinanet/anchors.py:6-45.
+
+    pyramid levels [2..6] -> strides [4,8,16,32,64], base sizes [16,32,64,128,256],
+    3 ratios x 3 scales = 9 anchors per cell.
+    """
+
+    pyramid_levels: Tuple[int, ...] = (2, 3, 4, 5, 6)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    scales: Tuple[float, ...] = (1.0, 2.0 ** (1.0 / 3.0), 2.0 ** (2.0 / 3.0))
+
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        return tuple(2 ** lvl for lvl in self.pyramid_levels)
+
+    @property
+    def sizes(self) -> Tuple[int, ...]:
+        return tuple(2 ** (lvl + 2) for lvl in self.pyramid_levels)
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.ratios) * len(self.scales)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxCoderConfig:
+    """Box delta normalization. Reference: retinanet/utils.py:103-126, losses.py:141-152."""
+
+    mean: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetGeometry:
+    """Per-benchmark geometry and normalization constants.
+
+    Reference: model.py:47-56 (FPN upsampling mode), dataloader.py:452-534
+    (Normalizer/Resizer constants), dsec_data.py:252-254.
+    """
+
+    name: str  # 'dsec' | 'ddd17'
+    height: int
+    width: int
+    num_classes: int
+    class_names: Tuple[str, ...]
+    rgb_mean: Tuple[float, float, float]
+    rgb_std: Tuple[float, float, float]
+    event_channels: int = 5
+    # 'nearest2x' (DSEC: divisible-by-32 sizes) or 'bilinear_fixed' (DDD17: 346x260
+    # is not divisible, so the reference upsamples to the exact coarser-level shape).
+    fpn_upsample: str = "nearest2x"
+
+    def level_shape(self, level: int) -> Tuple[int, int]:
+        """Feature-map shape at a pyramid level (ceil division, anchors.py:30)."""
+        s = 2 ** level
+        return (math.ceil(self.height / s), math.ceil(self.width / s))
+
+
+DSEC = DatasetGeometry(
+    name="dsec",
+    height=480,
+    width=640,
+    num_classes=3,
+    class_names=("person", "large_vehicle", "car"),
+    rgb_mean=(0.485, 0.456, 0.406),
+    rgb_std=(0.229, 0.224, 0.225),
+    fpn_upsample="nearest2x",
+)
+
+DDD17 = DatasetGeometry(
+    name="ddd17",
+    height=260,
+    width=346,
+    num_classes=1,
+    class_names=("car",),
+    rgb_mean=(0.403, 0.403, 0.403),
+    rgb_std=(0.295, 0.295, 0.295),
+    fpn_upsample="bilinear_fixed",
+)
+
+# Raw DSEC-Det pipeline (dsec_data.py:151-152): two classes, same geometry as DSEC.
+DSEC_DET = dataclasses.replace(
+    DSEC, num_classes=2, class_names=("car", "pedestrian")
+)
+
+
+def geometry_for(name: str) -> DatasetGeometry:
+    try:
+        return {"dsec": DSEC, "ddd17": DDD17, "dsec_det": DSEC_DET}[name]
+    except KeyError:
+        raise ValueError(f"Unknown dataset geometry: {name!r}") from None
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Detector assembly. Reference: retinanet/model.py:690-701 factory."""
+
+    variant: str = "fusion"  # 'fusion' | 'rgb' | 'event'
+    depth: int = 50  # 18 | 34 | 50
+    num_classes: int = 3
+    feature_size: int = 256
+    prior: float = 0.01  # classification prior bias init (model.py:237-243)
+    modality_dropout: float = 0.15  # p of zeroing RGB during fusion training (model.py:279)
+    # Compute dtype for backbone/heads. Params stay f32; bf16 activations use the MXU
+    # at full rate on TPU. Attention softmax and loss always run in f32.
+    compute_dtype: str = "float32"
+    attention_chunk: int = 1024  # query-block size for flash cross-attention
+
+    @property
+    def block_layers(self) -> Tuple[int, ...]:
+        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[self.depth]
+
+    @property
+    def bottleneck(self) -> bool:
+        return self.depth >= 50
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Inference postprocess + evaluation. Reference: model.py:326-364, csv_eval.py:66-131."""
+
+    score_threshold: float = 0.05
+    nms_iou: float = 0.5
+    max_detections: int = 100
+    # Static per-class candidate pool fed to on-device NMS (dynamic-shape masking in
+    # the reference becomes fixed-size top-k on TPU).
+    per_class_topk: int = 400
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters. Reference: train_dsec.py:122-163, train_ddd17.py:83-201."""
+
+    batch_size: int = 2
+    learning_rate: float = 1e-4
+    grad_clip_norm: float = 0.1
+    accum_steps: int = 2  # optimizer step every N micro-batches (train_dsec.py:160-163)
+    epochs: int = 60
+    # ReduceLROnPlateau(patience=3), torch defaults factor=0.1 (train_dsec.py:124)
+    plateau_patience: int = 3
+    plateau_factor: float = 0.1
+    checkpoint_every: int = 5
+    max_annots_per_image: int = 64  # static annotation padding
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    geometry: DatasetGeometry = DSEC
+    anchors: AnchorConfig = AnchorConfig()
+    box_coder: BoxCoderConfig = BoxCoderConfig()
+    model: ModelConfig = ModelConfig()
+    eval: EvalConfig = EvalConfig()
+    train: TrainConfig = TrainConfig()
+
+    @staticmethod
+    def for_dataset(name: str, variant: str = "fusion", **model_kw) -> "FrameworkConfig":
+        geo = geometry_for(name)
+        return FrameworkConfig(
+            geometry=geo,
+            model=ModelConfig(variant=variant, num_classes=geo.num_classes, **model_kw),
+        )

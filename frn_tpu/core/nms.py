@@ -1,0 +1,104 @@
+"""Fixed-size, on-device class-wise NMS.
+
+The reference's eval branch loops per class in Python, boolean-masks to a dynamic box
+set, and calls torchvision's native NMS kernel (retinanet/model.py:326-364) — all
+host-driven and batch-1 only. TPU needs static shapes, so the same semantics are
+re-expressed as: per-class top-k candidate pool -> dense IoU matrix -> sequential
+greedy suppression (a kept box suppresses later overlapping boxes; suppressed boxes
+suppress nothing — exactly torchvision.ops.nms) -> global top-k across classes.
+
+Everything runs inside one XLA program; eval never round-trips to host per class.
+Batched via vmap (fixes the reference's batch=1 assumption at model.py:341).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from frn_tpu.core.boxes import pairwise_iou
+
+
+def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS keep-mask over boxes sorted by descending score.
+
+    Args:
+      boxes: (T, 4), already sorted by score descending.
+      scores: (T,), descending; entries <= 0 are padding and never kept.
+    Returns:
+      (T,) bool keep mask.
+    """
+    t = boxes.shape[0]
+    iou = pairwise_iou(boxes, boxes)  # (T, T)
+    later = jnp.arange(t)[None, :] > jnp.arange(t)[:, None]  # j strictly after i
+    suppress_if_kept = (iou > iou_threshold) & later  # (T, T)
+
+    def body(i, keep):
+        kept_i = keep[i] & (scores[i] > 0.0)
+        return keep & ~(suppress_if_kept[i] & kept_i)
+
+    keep = jax.lax.fori_loop(0, t, body, jnp.ones((t,), dtype=bool))
+    return keep & (scores > 0.0)
+
+
+def class_aware_nms(
+    boxes: jnp.ndarray,  # (A, 4) decoded+clipped boxes (shared across classes)
+    scores: jnp.ndarray,  # (A, K) per-class sigmoid scores
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    per_class_topk: int = 400,
+    max_detections: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-class hard NMS then global top-k.
+
+    Returns fixed-size (scores (M,), labels (M,) int32, boxes (M,4)); empty slots have
+    score 0 and label -1. Matches model.py:340-364 + csv_eval.py:109-119 semantics
+    (strict > threshold, per-class NMS at iou_threshold, global top max_detections).
+    """
+    num_classes = scores.shape[1]
+    t = per_class_topk
+
+    def one_class(cls_scores: jnp.ndarray):
+        s = jnp.where(cls_scores > score_threshold, cls_scores, 0.0)
+        vals, idx = jax.lax.top_k(s, t)  # descending
+        b = boxes[idx]
+        keep = greedy_nms_mask(b, vals, iou_threshold)
+        return jnp.where(keep, vals, 0.0), b
+
+    # vmap over classes: scores (A,K) -> (K,A)
+    cls_scores, cls_boxes = jax.vmap(one_class)(scores.T)  # (K,T), (K,T,4)
+    labels = jnp.broadcast_to(jnp.arange(num_classes, dtype=jnp.int32)[:, None], (num_classes, t))
+
+    flat_scores = cls_scores.reshape(-1)
+    flat_boxes = cls_boxes.reshape(-1, 4)
+    flat_labels = labels.reshape(-1)
+
+    k = min(max_detections, flat_scores.shape[0])
+    top_vals, top_idx = jax.lax.top_k(flat_scores, k)
+    out_scores = top_vals
+    out_boxes = flat_boxes[top_idx]
+    out_labels = jnp.where(top_vals > 0.0, flat_labels[top_idx], -1)
+    if k < max_detections:
+        pad = max_detections - k
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+    return out_scores, out_labels, out_boxes
+
+
+def batched_detection_postprocess(
+    boxes: jnp.ndarray,  # (B, A, 4)
+    scores: jnp.ndarray,  # (B, A, K)
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    per_class_topk: int = 400,
+    max_detections: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """vmap of class_aware_nms over the batch: (B,M), (B,M), (B,M,4)."""
+    return jax.vmap(
+        lambda b, s: class_aware_nms(
+            b, s, score_threshold, iou_threshold, per_class_topk, max_detections
+        )
+    )(boxes, scores)

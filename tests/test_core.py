@@ -1,0 +1,203 @@
+"""Golden-value tests for frn_tpu.core against literal numpy replicas."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frn_tpu.config import AnchorConfig
+from frn_tpu.core import (
+    anchors_for_shape,
+    batched_detection_postprocess,
+    class_aware_nms,
+    clip_boxes,
+    decode_boxes,
+    encode_boxes,
+    focal_detection_loss,
+    pairwise_iou,
+)
+from frn_tpu.core.anchors import num_anchors_for_shape
+from frn_tpu.core.nms import greedy_nms_mask
+
+from tests.reference_impls import (
+    ref_all_anchors,
+    ref_decode,
+    ref_focal_loss,
+    ref_iou,
+    ref_nms,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def random_boxes(n, w=640, h=480, rng=RNG):
+    x1 = rng.uniform(0, w - 20, n)
+    y1 = rng.uniform(0, h - 20, n)
+    bw = rng.uniform(5, 120, n)
+    bh = rng.uniform(5, 120, n)
+    return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------- anchors
+
+
+def test_anchor_counts_match_reference():
+    # reference: 230,220 anchors @640x480 (DSEC), 68,490 @346x260 (DDD17)
+    assert num_anchors_for_shape((480, 640)) == 230220
+    assert num_anchors_for_shape((260, 346)) == 68490
+    assert anchors_for_shape((480, 640)).shape == (230220, 4)
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (260, 346)])
+def test_anchors_match_bruteforce(shape):
+    got = anchors_for_shape(shape)
+    want = ref_all_anchors(shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_anchors_cached():
+    a = anchors_for_shape((480, 640))
+    b = anchors_for_shape((480, 640))
+    assert a is b
+
+
+# ---------------------------------------------------------------- boxes
+
+
+def test_pairwise_iou_matches_bruteforce():
+    a = random_boxes(17)
+    b = random_boxes(9)
+    got = np.asarray(pairwise_iou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref_iou(a, b), rtol=1e-5, atol=1e-6)
+
+
+def test_encode_decode_roundtrip():
+    anchors = random_boxes(50)
+    gt = random_boxes(50)
+    deltas = encode_boxes(jnp.asarray(anchors), jnp.asarray(gt))
+    back = decode_boxes(jnp.asarray(anchors), deltas)
+    np.testing.assert_allclose(np.asarray(back), gt, rtol=1e-4, atol=1e-2)
+
+
+def test_decode_matches_reference():
+    anchors = random_boxes(40)
+    deltas = RNG.normal(size=(40, 4)).astype(np.float32)
+    got = np.asarray(decode_boxes(jnp.asarray(anchors), jnp.asarray(deltas)))
+    np.testing.assert_allclose(got, ref_decode(anchors, deltas), rtol=1e-4, atol=1e-2)
+
+
+def test_clip_boxes():
+    boxes = jnp.asarray([[-5.0, -3.0, 700.0, 500.0], [10.0, 10.0, 20.0, 20.0]])
+    out = np.asarray(clip_boxes(boxes, (480, 640)))
+    np.testing.assert_allclose(out, [[0, 0, 640, 480], [10, 10, 20, 20]])
+
+
+# ---------------------------------------------------------------- focal loss
+
+
+def _loss_case(batch, num_annots, num_classes=3, empty_image=False):
+    anchors = anchors_for_shape((64, 96))
+    a = anchors.shape[0]
+    cls = RNG.uniform(0.001, 0.999, (batch, a, num_classes)).astype(np.float32)
+    reg = RNG.normal(size=(batch, a, 4)).astype(np.float32) * 0.5
+    annots = np.full((batch, num_annots, 5), -1.0, dtype=np.float32)
+    for b in range(batch):
+        if empty_image and b == 0:
+            continue
+        n = RNG.integers(1, num_annots + 1)
+        boxes = random_boxes(n, w=96, h=64)
+        annots[b, :n, :4] = boxes
+        annots[b, :n, 4] = RNG.integers(0, num_classes, n)
+    return cls, reg, anchors, annots
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_focal_loss_matches_reference(empty):
+    cls, reg, anchors, annots = _loss_case(batch=3, num_annots=6, empty_image=empty)
+    got_c, got_r = focal_detection_loss(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors), jnp.asarray(annots)
+    )
+    want_c, want_r = ref_focal_loss(cls, reg, anchors, annots)
+    np.testing.assert_allclose(float(got_c), want_c, rtol=1e-4)
+    np.testing.assert_allclose(float(got_r), want_r, rtol=1e-4, atol=1e-6)
+
+
+def test_focal_loss_all_empty_matches_reference():
+    cls, reg, anchors, _ = _loss_case(batch=2, num_annots=4)
+    annots = np.full((2, 4, 5), -1.0, dtype=np.float32)
+    got_c, got_r = focal_detection_loss(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors), jnp.asarray(annots)
+    )
+    want_c, want_r = ref_focal_loss(cls, reg, anchors, annots)
+    np.testing.assert_allclose(float(got_c), want_c, rtol=1e-4)
+    assert float(got_r) == want_r == 0.0
+
+
+def test_focal_loss_is_differentiable_and_finite():
+    cls, reg, anchors, annots = _loss_case(batch=2, num_annots=5)
+
+    def total(c, r):
+        lc, lr = focal_detection_loss(c, r, jnp.asarray(anchors), jnp.asarray(annots))
+        return lc + lr
+
+    gc, gr = jax.grad(total, argnums=(0, 1))(jnp.asarray(cls), jnp.asarray(reg))
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.isfinite(np.asarray(gr)).all()
+
+
+# ---------------------------------------------------------------- NMS
+
+
+def test_greedy_nms_matches_reference():
+    for trial in range(5):
+        rng = np.random.default_rng(100 + trial)
+        boxes = random_boxes(60, rng=rng)
+        scores = rng.uniform(0.06, 1.0, 60).astype(np.float32)
+        order = np.argsort(-scores)
+        b_sorted, s_sorted = boxes[order], scores[order]
+        keep_mask = np.asarray(
+            greedy_nms_mask(jnp.asarray(b_sorted), jnp.asarray(s_sorted), 0.5)
+        )
+        got_kept = set(map(tuple, b_sorted[keep_mask].tolist()))
+        want_idx = ref_nms(boxes, scores, 0.5)
+        want_kept = set(map(tuple, boxes[want_idx].tolist()))
+        assert got_kept == want_kept
+
+
+def test_class_aware_nms_end_to_end():
+    rng = np.random.default_rng(7)
+    boxes = random_boxes(200, rng=rng)
+    scores = rng.uniform(0, 0.4, (200, 3)).astype(np.float32)
+    scores[:5] = rng.uniform(0.6, 1.0, (5, 3))
+    s, l, b = class_aware_nms(jnp.asarray(boxes), jnp.asarray(scores), per_class_topk=64)
+    s, l, b = np.asarray(s), np.asarray(l), np.asarray(b)
+
+    # replicate: per class ref_nms over >0.05 scores, then global top-100
+    all_s, all_l, all_b = [], [], []
+    for c in range(3):
+        m = scores[:, c] > 0.05
+        if m.sum() == 0:
+            continue
+        keep = ref_nms(boxes[m], scores[m, c], 0.5)
+        all_s.extend(scores[m, c][keep])
+        all_l.extend([c] * len(keep))
+        all_b.extend(boxes[m][keep])
+    order = np.argsort(-np.asarray(all_s))[:100]
+    want_s = np.asarray(all_s)[order]
+
+    valid = s > 0
+    np.testing.assert_allclose(np.sort(s[valid])[::-1], np.sort(want_s)[::-1], rtol=1e-5)
+    # label/box consistency for top entries
+    for i in range(min(10, valid.sum())):
+        j = order[i]
+        np.testing.assert_allclose(b[i], np.asarray(all_b)[j], rtol=1e-5)
+        assert l[i] == all_l[j]
+
+
+def test_batched_postprocess_shapes():
+    rng = np.random.default_rng(3)
+    boxes = jnp.asarray(np.stack([random_boxes(50, rng=rng)] * 2))
+    scores = jnp.asarray(rng.uniform(0, 1, (2, 50, 3)).astype(np.float32))
+    s, l, b = batched_detection_postprocess(boxes, scores, per_class_topk=32, max_detections=20)
+    assert s.shape == (2, 20) and l.shape == (2, 20) and b.shape == (2, 20, 4)
