@@ -1,0 +1,51 @@
+"""Fixed-shape batching for TPU.
+
+The reference pads each batch to its own max image size and max annotation count
+(dataloader.py:404-450) — dynamic shapes that would force an XLA recompile per
+batch. Here every batch is padded to the static dataset geometry and a fixed
+annotation capacity, so one compiled program serves the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from frn_tpu.config import DatasetGeometry
+
+
+def collate_fixed(
+    samples: Sequence[Dict[str, np.ndarray]],
+    geometry: DatasetGeometry,
+    max_annots: int = 64,
+    batch_size: int | None = None,
+) -> Dict[str, np.ndarray]:
+    """Stack samples into fixed-shape arrays.
+
+    Images are zero-padded bottom/right to (H, W) (reference collater semantics);
+    annotations padded with -1 rows and truncated at max_annots; short batches
+    zero-padded to batch_size with a validity mask in 'sample_mask'.
+    """
+    h, w = geometry.height, geometry.width
+    bsz = batch_size or len(samples)
+    n = len(samples)
+    assert n <= bsz
+
+    ev_c = samples[0]["event"].shape[-1]
+    events = np.zeros((bsz, h, w, ev_c), dtype=np.float32)
+    rgbs = np.zeros((bsz, h, w, 3), dtype=np.float32)
+    annots = np.full((bsz, max_annots, 5), -1.0, dtype=np.float32)
+    mask = np.zeros((bsz,), dtype=bool)
+
+    for i, s in enumerate(samples):
+        e, r = s["event"], s["rgb"]
+        events[i, : e.shape[0], : e.shape[1], :] = e[:h, :w]
+        rgbs[i, : r.shape[0], : r.shape[1], :] = r[:h, :w]
+        a = s["annot"]
+        k = min(len(a), max_annots)
+        if k:
+            annots[i, :k] = a[:k]
+        mask[i] = True
+
+    return {"event": events, "rgb": rgbs, "annot": annots, "sample_mask": mask}

@@ -1,0 +1,170 @@
+"""End-to-end detector assembly: the three FRN variants behind one config.
+
+Re-implements ResNet_fpn_fusion / ResNet (event-only) / ResNet_rgb
+(model.py:171-701) as one flax module. Differences from the reference, by design:
+
+  * forward is pure: it returns (classification probs, regression deltas); the loss
+    (training) and decoded detections (eval) are separate jit-able functions, so one
+    compiled forward serves both paths and batching is first-class (the reference's
+    eval branch assumes batch 1, model.py:341).
+  * anchors are a trace-time constant of the static image shape (core/anchors.py).
+  * RGB modality dropout (p=0.15 whole-batch zeroing during fusion training,
+    model.py:279-280) uses a flax RNG stream.
+  * fusion stages are called as fus(event, rgb), replicating the reference argument
+    order at model.py:305-308.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from frn_tpu.config import FrameworkConfig
+from frn_tpu.core.anchors import anchors_for_shape
+from frn_tpu.core.boxes import clip_boxes, decode_boxes
+from frn_tpu.core.losses import focal_detection_loss
+from frn_tpu.core.nms import batched_detection_postprocess
+from frn_tpu.models.fpn import PyramidFeatures
+from frn_tpu.models.fusion import REFusion
+from frn_tpu.models.heads import ClassificationHead, RegressionHead, apply_heads
+from frn_tpu.models.resnet import ResNetBackbone
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class FRNDetector(nn.Module):
+    """Inputs NHWC: rgb (B,H,W,3) normalized, event (B,H,W,5) voxel grid.
+
+    Returns (classification (B,A,K) sigmoid probs f32, regression (B,A,4) f32).
+    """
+
+    config: FrameworkConfig
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, event: jnp.ndarray, train: bool = False):
+        cfg = self.config
+        mc = cfg.model
+        dtype = _dtype_of(mc.compute_dtype)
+        variant = mc.variant
+
+        if variant == "fusion" and train and mc.modality_dropout > 0:
+            # whole-batch RGB blanking with p=0.15 (model.py:279-280)
+            drop = jax.random.bernoulli(
+                self.make_rng("modality"), mc.modality_dropout
+            )
+            rgb = jnp.where(drop, jnp.zeros_like(rgb), rgb)
+
+        rgb = rgb.astype(dtype)
+        event = event.astype(dtype)
+
+        if variant == "fusion":
+            rgb_feats = ResNetBackbone(
+                layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
+                name="rgb_backbone",
+            )(rgb)
+            evt_feats = ResNetBackbone(
+                layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
+                name="event_backbone",
+            )(event)
+            stage_channels = (256, 512, 1024, 2048) if mc.bottleneck else (64, 128, 256, 512)
+            fused = tuple(
+                REFusion(
+                    channels=c, chunk=mc.attention_chunk, dtype=dtype, name=f"fus_{i}"
+                )(e, r)  # (event, rgb) order per model.py:305-308
+                for i, (c, e, r) in enumerate(zip(stage_channels, evt_feats, rgb_feats))
+            )
+            feats = fused
+        elif variant == "event":
+            feats = ResNetBackbone(
+                layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
+                name="backbone",
+            )(event)
+        elif variant == "rgb":
+            feats = ResNetBackbone(
+                layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
+                name="backbone",
+            )(rgb)
+        else:
+            raise ValueError(f"Unknown variant {variant!r}")
+
+        pyramid = PyramidFeatures(
+            feature_size=mc.feature_size,
+            upsample=cfg.geometry.fpn_upsample,
+            dtype=dtype,
+            name="fpn",
+        )(feats)
+
+        cls_head = ClassificationHead(
+            num_classes=mc.num_classes,
+            num_anchors=cfg.anchors.num_anchors_per_cell,
+            feature_size=mc.feature_size,
+            prior=mc.prior,
+            dtype=dtype,
+            name="classificationModel",
+        )
+        reg_head = RegressionHead(
+            num_anchors=cfg.anchors.num_anchors_per_cell,
+            feature_size=mc.feature_size,
+            dtype=dtype,
+            name="regressionModel",
+        )
+        classification, regression = apply_heads(cls_head, reg_head, pyramid)
+        return classification.astype(jnp.float32), regression.astype(jnp.float32)
+
+
+def image_anchors(config: FrameworkConfig) -> jnp.ndarray:
+    """Anchors for the configured static geometry — a compile-time constant."""
+    geo = config.geometry
+    return jnp.asarray(anchors_for_shape((geo.height, geo.width), config.anchors))
+
+
+def detection_loss(
+    classification: jnp.ndarray,
+    regression: jnp.ndarray,
+    annotations: jnp.ndarray,
+    config: FrameworkConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cls_loss, reg_loss) per reference FocalLoss semantics."""
+    return focal_detection_loss(
+        classification, regression, image_anchors(config), annotations,
+        std=config.box_coder.std,
+    )
+
+
+def decode_detections(
+    classification: jnp.ndarray,
+    regression: jnp.ndarray,
+    config: FrameworkConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched decode + clip + class-wise NMS, all on device.
+
+    Returns (scores (B,M), labels (B,M) int32, boxes (B,M,4)); M = max_detections.
+    """
+    geo, ev = config.geometry, config.eval
+    anchors = image_anchors(config)
+    boxes = decode_boxes(anchors, regression, std=config.box_coder.std)
+    boxes = clip_boxes(boxes, (geo.height, geo.width))
+    return batched_detection_postprocess(
+        boxes,
+        classification,
+        score_threshold=ev.score_threshold,
+        iou_threshold=ev.nms_iou,
+        per_class_topk=ev.per_class_topk,
+        max_detections=ev.max_detections,
+    )
+
+
+def init_detector(config: FrameworkConfig, rng: jax.Array, batch_size: int = 1):
+    """Initialize (model, variables) on host-shaped zeros."""
+    geo = config.geometry
+    model = FRNDetector(config)
+    rgb = jnp.zeros((batch_size, geo.height, geo.width, 3), jnp.float32)
+    event = jnp.zeros((batch_size, geo.height, geo.width, geo.event_channels), jnp.float32)
+    variables = model.init({"params": rng, "modality": rng}, rgb, event, train=False)
+    return model, variables

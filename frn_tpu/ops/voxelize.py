@@ -1,0 +1,122 @@
+"""Event-stream -> voxel-grid rasterization.
+
+Replaces the reference's interpreted per-event Python scatter loop
+(dsec_data.py:362-381) — THE input-pipeline hot spot — with three paths:
+
+  1. `voxelize_events_np`   — numpy bincount (vectorized host fallback, ~50x the
+                              reference loop).
+  2. native C++ scatter     — memory-bandwidth-bound host kernel (native/voxelize.cpp,
+                              loaded via ctypes); used by the data loader.
+  3. `voxelize_events`      — pure-jnp device path over padded static-shape event
+                              tensors (segment_sum -> XLA sorted scatter-add), for
+                              keeping the whole pipeline on-device.
+
+Why no Pallas kernel here: TPUs have no hardware scatter unit; a Pallas scatter
+loop serializes into per-event dynamic-update-slices and cannot beat XLA's
+segment_sum lowering. The rasterization is host-side in the training pipeline
+(overlapped with device compute via prefetch), where the C++ kernel is
+bandwidth-bound — i.e. already at speed-of-light for this op. The Pallas budget is
+spent on the genuinely compute-bound op instead (fusion cross-attention).
+
+Semantics replicated from dsec_data.py preprocess_events:
+  * events filtered to x < W, y < H
+  * time normalized to [0,1] over the window: (t - t_first)/(t_last - t_first + 1e-6)
+  * nearest temporal bin: clip(floor(t_norm * (C-1)), 0, C-1)
+  * polarity contribution: +1 if p > 0 else -1, accumulated
+  * post-norm (dsec_data.py:461-462): if max|v| > 5 -> tanh(v / 5)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frn_tpu.utils.native import native_voxelize
+
+
+def voxelize_events_np(
+    x: np.ndarray,
+    y: np.ndarray,
+    t: np.ndarray,
+    p: np.ndarray,
+    num_bins: int = 5,
+    height: int = 480,
+    width: int = 640,
+) -> np.ndarray:
+    """Host-side voxelization -> (num_bins, height, width) float32.
+
+    Uses the native C++ scatter kernel when available, else numpy bincount.
+    `p` may be {0,1} or {-1,1}; anything > 0 counts +1, else -1 (dsec_data.py:356).
+    """
+    mask = (y < height) & (x < width)
+    if not mask.all():
+        x, y, t, p = x[mask], y[mask], t[mask], p[mask]
+    n = len(t)
+    if n == 0:
+        return np.zeros((num_bins, height, width), dtype=np.float32)
+
+    t = t.astype(np.float64)
+    t_norm = (t - t[0]) / (t[-1] - t[0] + 1e-6)
+    t_bin = np.clip((t_norm * (num_bins - 1)).astype(np.int64), 0, num_bins - 1)
+    pol = (p > 0).astype(np.float32) * 2.0 - 1.0
+
+    out = native_voxelize(
+        x.astype(np.int32), y.astype(np.int32), t_bin.astype(np.int32), pol,
+        num_bins, height, width,
+    )
+    if out is not None:
+        return out
+
+    lin = (t_bin * height + y.astype(np.int64)) * width + x.astype(np.int64)
+    flat = np.bincount(lin, weights=pol, minlength=num_bins * height * width)
+    return flat.astype(np.float32).reshape(num_bins, height, width)
+
+
+def voxelize_events(
+    x: jnp.ndarray,  # (N,) int32, padded
+    y: jnp.ndarray,  # (N,) int32
+    t: jnp.ndarray,  # (N,) time (any unit), sorted ascending over valid prefix
+    p: jnp.ndarray,  # (N,) polarity, >0 => +1
+    num_valid: jnp.ndarray,  # scalar int32: number of valid events (valid prefix)
+    num_bins: int = 5,
+    height: int = 480,
+    width: int = 640,
+) -> jnp.ndarray:
+    """Device-side static-shape voxelization of a padded event tensor.
+
+    Events at index >= num_valid are padding and contribute nothing. Output
+    (num_bins, height, width) float32.
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = (idx < num_valid) & (x < width) & (y < height) & (x >= 0) & (y >= 0)
+
+    t = t.astype(jnp.float32)
+    t0 = t[0]
+    t1 = t[jnp.maximum(num_valid - 1, 0)]
+    t_norm = (t - t0) / (t1 - t0 + 1e-6)
+    t_bin = jnp.clip((t_norm * (num_bins - 1)).astype(jnp.int32), 0, num_bins - 1)
+    pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
+
+    size = num_bins * height * width
+    lin = (t_bin * height + y) * width + x
+    lin = jnp.where(valid, lin, size)  # dump slot for padding
+    pol = jnp.where(valid, pol, 0.0)
+
+    flat = jax.ops.segment_sum(pol, lin, num_segments=size + 1)
+    return flat[:size].reshape(num_bins, height, width)
+
+
+def normalize_event_voxel(voxel: jnp.ndarray, threshold: float = 5.0) -> jnp.ndarray:
+    """tanh(v/5) normalization applied only when max|v| > 5 (dsec_data.py:461-462)."""
+    big = jnp.max(jnp.abs(voxel)) > threshold
+    return jnp.where(big, jnp.tanh(voxel / threshold), voxel)
+
+
+def normalize_event_voxel_np(voxel: np.ndarray, threshold: float = 5.0) -> np.ndarray:
+    if np.abs(voxel).max() > threshold:
+        return np.tanh(voxel / threshold).astype(np.float32)
+    return voxel

@@ -1,0 +1,167 @@
+"""Data-pipeline tests: voxelization paths agree, CSV datasets, loader, h5 IO."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from frn_tpu.config import DDD17, DSEC
+from frn_tpu.data import (
+    BatchLoader,
+    CSVDetectionDataset,
+    H5EventReader,
+    collate_fixed,
+    write_event_h5,
+)
+from frn_tpu.data.synthetic import make_csv_fixture
+from frn_tpu.ops.voxelize import (
+    normalize_event_voxel,
+    normalize_event_voxel_np,
+    voxelize_events,
+    voxelize_events_np,
+)
+
+TINY_DSEC = dataclasses.replace(DSEC, height=48, width=64)
+TINY_DDD17 = dataclasses.replace(DDD17, height=40, width=52)
+
+RNG = np.random.default_rng(11)
+
+
+def _random_events(n=5000, h=48, w=64, overflow=True):
+    x = RNG.integers(0, w + (8 if overflow else 0), n).astype(np.int64)
+    y = RNG.integers(0, h + (8 if overflow else 0), n).astype(np.int64)
+    t = np.sort(RNG.integers(1_000_000, 1_050_000, n)).astype(np.int64)
+    p = RNG.integers(0, 2, n).astype(np.int64)
+    return x, y, t, p
+
+
+def _reference_voxelize(x, y, t, p, c, h, w):
+    """Literal python-loop replica of dsec_data.py preprocess_events."""
+    m = (y < h) & (x < w)
+    x, y, t, p = x[m], y[m], t[m], p[m]
+    voxel = np.zeros((c, h, w), np.float32)
+    if len(t) == 0:
+        return voxel
+    tn = (t - t[0]) / (t[-1] - t[0] + 1e-6)
+    tb = np.clip((tn * (c - 1)).astype(np.int64), 0, c - 1)
+    pol = (p > 0).astype(np.float32) * 2 - 1
+    for ci, xi, yi, pi in zip(tb, x, y, pol):
+        voxel[ci, yi, xi] += pi
+    return voxel
+
+
+def test_voxelize_np_matches_reference_loop():
+    x, y, t, p = _random_events()
+    want = _reference_voxelize(x, y, t, p, 5, 48, 64)
+    got = voxelize_events_np(x, y, t, p, 5, 48, 64)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_voxelize_np_fallback_matches_native():
+    x, y, t, p = _random_events()
+    native = voxelize_events_np(x, y, t, p, 5, 48, 64)
+    os.environ["FRN_DISABLE_NATIVE"] = "1"
+    try:
+        import frn_tpu.utils.native as nat
+
+        old_lib, old_tried = nat._lib, nat._tried
+        nat._lib, nat._tried = None, False
+        fallback = voxelize_events_np(x, y, t, p, 5, 48, 64)
+        nat._lib, nat._tried = old_lib, old_tried
+    finally:
+        del os.environ["FRN_DISABLE_NATIVE"]
+    np.testing.assert_allclose(native, fallback, atol=1e-5)
+
+
+def test_voxelize_device_matches_host():
+    x, y, t, p = _random_events(overflow=False)
+    want = voxelize_events_np(x, y, t, p, 5, 48, 64)
+    n_pad = 6000
+    pad = n_pad - len(x)
+    xp = np.pad(x, (0, pad)).astype(np.int32)
+    yp = np.pad(y, (0, pad)).astype(np.int32)
+    tp = np.pad(t, (0, pad)).astype(np.float32)
+    pp = np.pad(p, (0, pad)).astype(np.int32)
+    got = np.asarray(
+        voxelize_events(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp), jnp.asarray(pp),
+            jnp.int32(len(x)), 5, 48, 64,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_voxelize_empty():
+    e = np.array([], dtype=np.int64)
+    out = voxelize_events_np(e, e, e, e, 5, 48, 64)
+    assert out.shape == (5, 48, 64) and out.sum() == 0
+
+
+def test_tanh_normalization_conditional():
+    v = np.zeros((2, 4, 4), np.float32)
+    v[0, 0, 0] = 3.0
+    np.testing.assert_allclose(normalize_event_voxel_np(v.copy()), v)  # max <= 5: untouched
+    v[0, 0, 0] = 10.0
+    got = normalize_event_voxel_np(v.copy())
+    np.testing.assert_allclose(got[0, 0, 0], np.tanh(2.0), rtol=1e-6)
+    got_j = np.asarray(normalize_event_voxel(jnp.asarray(v)))
+    np.testing.assert_allclose(got_j, got, rtol=1e-6)
+
+
+def test_event_h5_roundtrip(tmp_path):
+    n = 2000
+    x = RNG.integers(0, 64, n).astype(np.uint16)
+    y = RNG.integers(0, 48, n).astype(np.uint16)
+    t = np.sort(RNG.integers(5_000_000, 5_200_000, n)).astype(np.int64)
+    p = RNG.integers(0, 2, n).astype(np.uint8)
+    path = str(tmp_path / "events.h5")
+    write_event_h5(path, x, y, t, p)
+
+    r = H5EventReader(path)
+    win = r.window(5_050_000, 5_150_000)
+    # ms granularity: all returned events within +-1ms of the window
+    assert (win["t"] >= 5_049_000).all() and (win["t"] <= 5_151_000).all()
+    assert len(win["t"]) > 0
+    full = r.window(4_000_000, 6_000_000)
+    assert len(full["t"]) == n
+    r.close()
+
+
+@pytest.mark.parametrize("geo", [TINY_DSEC, TINY_DDD17], ids=["dsec", "ddd17"])
+def test_csv_dataset_and_loader(tmp_path, geo):
+    fix = make_csv_fixture(str(tmp_path), geometry=geo, num_images=5, seed=3)
+    ds = CSVDetectionDataset(
+        geo, fix["annotations_csv"], fix["class_map_csv"],
+        fix["event_dir"], fix["img_dir"],
+    )
+    assert len(ds) == 5
+    assert ds.num_classes() == geo.num_classes
+    s = ds[0]
+    assert s["event"].shape == (geo.height, geo.width, geo.event_channels)
+    assert s["rgb"].shape == (geo.height, geo.width, 3)
+    assert s["annot"].shape[1] == 5
+
+    loader = BatchLoader(ds, geo, batch_size=2, shuffle=True, num_threads=2, max_annots=8)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["event"].shape == (2, geo.height, geo.width, geo.event_channels)
+    assert b["rgb"].shape == (2, geo.height, geo.width, 3)
+    assert b["annot"].shape == (2, 8, 5)
+    # last batch padded with mask
+    assert batches[-1]["sample_mask"].sum() == 1
+
+
+def test_collate_truncates_annots():
+    geo = TINY_DSEC
+    s = {
+        "event": np.zeros((geo.height, geo.width, 5), np.float32),
+        "rgb": np.zeros((geo.height, geo.width, 3), np.float32),
+        "annot": np.ones((10, 5), np.float32),
+    }
+    b = collate_fixed([s], geo, max_annots=4)
+    assert b["annot"].shape == (1, 4, 5)
+    assert (b["annot"] == 1).all()

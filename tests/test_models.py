@@ -1,0 +1,233 @@
+"""Model-layer tests: torch numeric parity for primitives, shape tests for variants."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frn_tpu.config import DDD17, DSEC, FrameworkConfig, ModelConfig
+from frn_tpu.models import (
+    FRNDetector,
+    decode_detections,
+    detection_loss,
+    image_anchors,
+    init_detector,
+)
+from frn_tpu.models.fusion import adain
+from frn_tpu.models.layers import Conv, FrozenBatchNorm
+from frn_tpu.ops.attention import nonlocal_attention
+from frn_tpu.ops.upsample import bilinear_resize, nearest_upsample_2x
+
+RNG = np.random.default_rng(42)
+
+# tiny geometries for fast CPU tests; ddd17-like is deliberately non-divisible
+TINY_DSEC = dataclasses.replace(DSEC, height=64, width=96)
+TINY_DDD17 = dataclasses.replace(DDD17, height=52, width=70)
+
+
+# ------------------------------------------------------------ torch parity
+
+
+def test_conv_frozen_bn_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(2, 9, 13, 4)).astype(np.float32)  # NHWC
+
+    conv = Conv(features=6, kernel_size=3, stride=2, padding=1, use_bias=False)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    w = params["params"]["Conv_0"]["kernel"]  # (kh, kw, in, out)
+    tconv = torch.nn.Conv2d(4, 6, 3, stride=2, padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.tensor(np.transpose(np.asarray(w), (3, 2, 0, 1))))
+
+    got = np.asarray(conv.apply(params, jnp.asarray(x)))
+    want = tconv(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4)
+
+    # frozen BN vs torch eval-mode BN with random running stats
+    bn = FrozenBatchNorm()
+    variables = bn.init(jax.random.PRNGKey(1), jnp.asarray(got))
+    gamma = RNG.normal(size=6).astype(np.float32)
+    beta = RNG.normal(size=6).astype(np.float32)
+    mean = RNG.normal(size=6).astype(np.float32)
+    var = RNG.uniform(0.5, 2.0, 6).astype(np.float32)
+    variables = {
+        "params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)},
+        "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)},
+    }
+    got_bn = np.asarray(bn.apply(variables, jnp.asarray(got)))
+
+    tbn = torch.nn.BatchNorm2d(6).eval()
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor(gamma))
+        tbn.bias.copy_(torch.tensor(beta))
+        tbn.running_mean.copy_(torch.tensor(mean))
+        tbn.running_var.copy_(torch.tensor(var))
+    want_bn = tbn(torch.tensor(np.transpose(got, (0, 3, 1, 2)))).detach().numpy()
+    np.testing.assert_allclose(
+        got_bn, np.transpose(want_bn, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_maxpool_matches_torch():
+    torch = pytest.importorskip("torch")
+    from frn_tpu.models.layers import max_pool_3x3_s2
+
+    x = RNG.normal(size=(1, 15, 17, 3)).astype(np.float32)
+    got = np.asarray(max_pool_3x3_s2(jnp.asarray(x)))
+    want = (
+        torch.nn.MaxPool2d(3, stride=2, padding=1)(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        )
+        .numpy()
+    )
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), atol=1e-6)
+
+
+def test_adain_matches_torch_semantics():
+    # replicate AdaIN.py with torch var(dim=2) (unbiased) on numpy
+    content = RNG.normal(size=(2, 6, 7, 5)).astype(np.float32)
+    style = RNG.normal(size=(2, 6, 7, 5)).astype(np.float32) * 2 + 1
+
+    def np_mean_std(feat_nhwc):
+        b, h, w, c = feat_nhwc.shape
+        flat = feat_nhwc.reshape(b, h * w, c)
+        mean = flat.mean(axis=1)
+        var = flat.var(axis=1, ddof=1) + 1e-5
+        return mean, np.sqrt(var)
+
+    sm, ss = np_mean_std(style)
+    cm, cs = np_mean_std(content)
+    want = (content - cm[:, None, None, :]) / cs[:, None, None, :] * ss[
+        :, None, None, :
+    ] + sm[:, None, None, :]
+
+    got = np.asarray(adain(jnp.asarray(content), jnp.asarray(style)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_resize_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(2, 9, 11, 4)).astype(np.float32)
+    got = np.asarray(bilinear_resize(jnp.asarray(x), (17, 22)))
+    want = (
+        torch.nn.functional.interpolate(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+            size=(17, 22),
+            mode="bilinear",
+            align_corners=False,
+        )
+        .numpy()
+    )
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_upsample_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = RNG.normal(size=(1, 5, 6, 3)).astype(np.float32)
+    got = np.asarray(nearest_upsample_2x(jnp.asarray(x)))
+    want = (
+        torch.nn.Upsample(scale_factor=2, mode="nearest")(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        )
+        .numpy()
+    )
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)), atol=1e-6)
+
+
+# ------------------------------------------------------------ attention
+
+
+def test_chunked_attention_matches_dense():
+    b, hw, c8 = 2, 50, 8
+    g = jnp.asarray(RNG.normal(size=(b, hw, c8)).astype(np.float32))
+    theta = jnp.asarray(RNG.normal(size=(b, hw, c8)).astype(np.float32))
+    phi = jnp.asarray(RNG.normal(size=(b, hw, c8)).astype(np.float32))
+    dense = nonlocal_attention(g, theta, phi, chunk=hw)
+    chunked = nonlocal_attention(g, theta, phi, chunk=16)  # 50 -> 4 blocks with pad
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(chunked), rtol=1e-5, atol=1e-5)
+
+
+def test_attention_matches_torch_nonlocal():
+    torch = pytest.importorskip("torch")
+    b, hw, c8 = 1, 30, 4
+    g = RNG.normal(size=(b, hw, c8)).astype(np.float32)
+    theta = RNG.normal(size=(b, hw, c8)).astype(np.float32)
+    phi = RNG.normal(size=(b, hw, c8)).astype(np.float32)
+
+    got = np.asarray(nonlocal_attention(jnp.asarray(g), jnp.asarray(theta), jnp.asarray(phi)))
+    # torch: f = matmul(phi (B,HW,C8), theta^T (B,C8,HW)); softmax; y = f @ g
+    tf = torch.softmax(
+        torch.tensor(phi) @ torch.tensor(theta).transpose(1, 2), dim=-1
+    )
+    want = (tf @ torch.tensor(g)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------ detector variants
+
+
+@pytest.mark.parametrize("variant", ["rgb", "event", "fusion"])
+@pytest.mark.parametrize("geo", [TINY_DSEC, TINY_DDD17], ids=["dsec", "ddd17"])
+def test_detector_forward_shapes(variant, geo):
+    cfg = FrameworkConfig(
+        geometry=geo,
+        model=ModelConfig(
+            variant=variant, depth=18, num_classes=geo.num_classes, feature_size=32,
+            attention_chunk=64,
+        ),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    rgb = jnp.asarray(RNG.normal(size=(1, geo.height, geo.width, 3)).astype(np.float32))
+    event = jnp.asarray(
+        RNG.normal(size=(1, geo.height, geo.width, geo.event_channels)).astype(np.float32)
+    )
+    cls, reg = model.apply(variables, rgb, event, train=False)
+    a = image_anchors(cfg).shape[0]
+    assert cls.shape == (1, a, geo.num_classes)
+    assert reg.shape == (1, a, 4)
+    assert np.isfinite(np.asarray(cls)).all() and np.isfinite(np.asarray(reg)).all()
+    # prior-bias init: background prob ~0.01 everywhere at init
+    assert 0.005 < float(jnp.mean(cls)) < 0.02
+
+    s, l, b = decode_detections(cls, reg, cfg)
+    m = cfg.eval.max_detections
+    assert s.shape == (1, m) and l.shape == (1, m) and b.shape == (1, m, 4)
+
+
+def test_detector_loss_and_grads():
+    cfg = FrameworkConfig(
+        geometry=TINY_DSEC,
+        model=ModelConfig(variant="fusion", depth=18, num_classes=3, feature_size=32,
+                          attention_chunk=64),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    geo = cfg.geometry
+    rgb = jnp.asarray(RNG.normal(size=(2, geo.height, geo.width, 3)).astype(np.float32))
+    event = jnp.asarray(RNG.normal(size=(2, geo.height, geo.width, 5)).astype(np.float32))
+    annots = np.full((2, 4, 5), -1.0, np.float32)
+    annots[0, 0] = [10, 10, 40, 40, 0]
+    annots[1, 0] = [20, 5, 60, 30, 2]
+    annots = jnp.asarray(annots)
+
+    params = variables["params"]
+    stats = {"batch_stats": variables.get("batch_stats", {})}
+
+    def loss_fn(p):
+        cls, reg = model.apply(
+            {"params": p, **stats}, rgb, event, train=True,
+            rngs={"modality": jax.random.PRNGKey(7)},
+        )
+        lc, lr = detection_loss(cls, reg, annots, cfg)
+        return lc + lr
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least some gradient signal reaches both backbones
+    norms = [float(jnp.linalg.norm(g)) for g in flat]
+    assert max(norms) > 0
