@@ -94,11 +94,20 @@ def voxelize_events(
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = (idx < num_valid) & (x < width) & (y < height) & (x >= 0) & (y >= 0)
 
-    t = t.astype(jnp.float32)
+    # Exact integer binning. The reference computes floor((C-1)*(t-t0)/(span+1e-6))
+    # in f64 (dsec_data.py:359-368): the +1e-6 only shifts events whose scaled time
+    # lands exactly on an integer down one bin (incl. the window's last event).
+    # Integer arithmetic reproduces that bit-exactly without f64 (disabled on TPU):
+    # floor-div, then subtract 1 on exact multiples.
+    t = t.astype(jnp.int32)
     t0 = t[0]
     t1 = t[jnp.maximum(num_valid - 1, 0)]
-    t_norm = (t - t0) / (t1 - t0 + 1e-6)
-    t_bin = jnp.clip((t_norm * (num_bins - 1)).astype(jnp.int32), 0, num_bins - 1)
+    t_rel = t - t0
+    span = jnp.maximum(t1 - t0, 1)
+    num = t_rel * (num_bins - 1)
+    t_bin = num // span
+    t_bin = t_bin - ((num % span == 0) & (t_rel > 0)).astype(jnp.int32)
+    t_bin = jnp.clip(t_bin, 0, num_bins - 1)
     pol = jnp.where(p > 0, 1.0, -1.0).astype(jnp.float32)
 
     size = num_bins * height * width

@@ -83,7 +83,7 @@ def test_voxelize_device_matches_host():
     pad = n_pad - len(x)
     xp = np.pad(x, (0, pad)).astype(np.int32)
     yp = np.pad(y, (0, pad)).astype(np.int32)
-    tp = np.pad(t, (0, pad)).astype(np.float32)
+    tp = np.pad(t, (0, pad)).astype(np.int32)
     pp = np.pad(p, (0, pad)).astype(np.int32)
     got = np.asarray(
         voxelize_events(
