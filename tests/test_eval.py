@@ -1,0 +1,134 @@
+"""Evaluation-layer tests: AP math sanity + corruption suite behavior."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from frn_tpu.config import DSEC
+from frn_tpu.eval.ap import (
+    average_precisions,
+    compute_ap,
+    compute_overlap,
+    evaluate_coco_map,
+    evaluate_voc,
+    summarize_coco,
+)
+from frn_tpu.ops.corruption import ALL_CORRUPTIONS, corrupt
+
+RNG = np.random.default_rng(5)
+
+
+def _boxes(n, w=100, h=100):
+    x1 = RNG.uniform(0, w - 20, n)
+    y1 = RNG.uniform(0, h - 20, n)
+    bw = RNG.uniform(10, 30, n)
+    bh = RNG.uniform(10, 30, n)
+    return np.stack([x1, y1, x1 + bw, y1 + bh], axis=1).astype(np.float64)
+
+
+def test_compute_ap_perfect():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 1.0])
+    assert compute_ap(recall, precision) == 1.0
+
+
+def test_perfect_detections_ap_one():
+    # 4 images, 2 classes; detections == annotations with high scores
+    num_classes = 2
+    all_det, all_ann = [], []
+    for _ in range(4):
+        det_img, ann_img = [], []
+        for c in range(num_classes):
+            b = _boxes(3)
+            ann_img.append(b.copy())
+            det_img.append(
+                np.concatenate([b, RNG.uniform(0.8, 1.0, (3, 1))], axis=1)
+            )
+        all_det.append(det_img)
+        all_ann.append(ann_img)
+    aps = evaluate_coco_map(all_det, all_ann, num_classes)
+    for c in range(num_classes):
+        np.testing.assert_allclose(aps[c], np.ones(10), atol=1e-9)
+    s = summarize_coco(aps, ["a", "b"])
+    assert s["mAP"] == 1.0 and s["mAP50"] == 1.0
+
+
+def test_false_positives_reduce_precision():
+    b = _boxes(2)
+    ann = [[b.copy()]]
+    # 2 TPs + 2 far-away FPs with lower scores
+    fp = b + 500
+    det = np.concatenate(
+        [
+            np.concatenate([b, np.array([[0.9], [0.85]])], axis=1),
+            np.concatenate([fp, np.array([[0.5], [0.4]])], axis=1),
+        ]
+    )
+    aps = evaluate_voc([[det]], ann, 1, iou_threshold=0.5)
+    ap, n = aps[0]
+    assert n == 2 and ap == 1.0  # FPs after full recall don't hurt VOC AP
+
+    # FP with the HIGHEST score does hurt
+    det2 = det.copy()
+    det2[2, 4] = 0.99
+    det2 = det2[np.argsort(-det2[:, 4])]
+    ap2, _ = evaluate_voc([[det2]], ann, 1)[0]
+    assert ap2 < 1.0
+
+
+def test_duplicate_detections_are_fps():
+    b = _boxes(1)
+    det = np.concatenate([np.tile(b, (3, 1)), np.array([[0.9], [0.8], [0.7]])], axis=1)
+    aps = average_precisions([[det]], [[b]], 1, [0.5])
+    # 1 TP + 2 duplicate FPs: recall 1 reached at rank 1 with precision 1
+    assert aps[0][0] == 1.0
+
+
+def test_missed_annotations_cap_recall():
+    b = _boxes(4)
+    det = np.concatenate([b[:2], np.array([[0.9], [0.8]])], axis=1)
+    ap, n = evaluate_voc([[det]], [[b]], 1)[0]
+    assert n == 4
+    assert 0.45 < ap <= 0.5  # recall caps at 0.5 with perfect precision
+
+
+def test_class_without_annotations_scores_zero():
+    det = np.concatenate([_boxes(2), np.array([[0.9], [0.8]])], axis=1)
+    aps = evaluate_coco_map([[det, np.zeros((0, 5))]], [[_boxes(2), np.zeros((0, 4))]], 2)
+    assert aps[1] == [0.0] * 10
+
+
+def test_overlap_matches_core():
+    a, b = _boxes(5), _boxes(7)
+    from tests.reference_impls import ref_iou
+
+    np.testing.assert_allclose(compute_overlap(a, b), ref_iou(a, b), rtol=1e-6)
+
+
+# ---------------------------------------------------------------- corruption
+
+
+@pytest.mark.parametrize("name", ALL_CORRUPTIONS)
+def test_corruptions_run_and_change_image(name):
+    img = RNG.uniform(0, 1, (64, 80, 3)).astype(np.float32)
+    out = corrupt(img, name, 3)
+    assert out.shape == img.shape
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1).all()
+    assert np.abs(out - img).mean() > 1e-4  # actually did something
+
+
+def test_corruption_severity_monotone_distortion():
+    img = RNG.uniform(0.2, 0.8, (64, 80, 3)).astype(np.float32)
+    d1 = np.abs(corrupt(img, "gaussian_noise", 1) - img).mean()
+    d5 = np.abs(corrupt(img, "gaussian_noise", 5) - img).mean()
+    assert d5 > d1
+
+
+def test_corruption_deterministic():
+    img = RNG.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    a = corrupt(img, "impulse_noise", 2)
+    b = corrupt(img, "impulse_noise", 2)
+    np.testing.assert_array_equal(a, b)
