@@ -1,0 +1,81 @@
+"""End-to-end benchmark: fused RGB+event detector inference fps/chip.
+
+Measures the serving path the reference measures during eval (test_dsec.py:211):
+full forward (dual ResNet-50 + 4x REFusion + FPN + heads) PLUS on-device decode +
+class-wise NMS, at DSEC geometry (480x640), on one chip. The reference publishes
+no absolute fps; BASELINE.json's target is >5x an A100 running the reference
+(batch-1 host-looped eval with python NMS). A_100_REFERENCE_FPS below is the
+assumed reference throughput used for vs_baseline (documented assumption, not a
+measured number — the reference hardware is unstated, README.md).
+
+Prints exactly one JSON line:
+  {"metric": "dsec_fusion_infer_fps_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / (5 * A100_REFERENCE_FPS)}  -- vs_baseline >= 1 means the
+   ">5x A100" north star is met.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_FPS = 40.0  # assumed reference (batch-1 torch eval loop) throughput
+TARGET_MULTIPLier = 5.0
+
+BATCH = int(os.environ.get("FRN_BENCH_BATCH", "8"))
+ITERS = int(os.environ.get("FRN_BENCH_ITERS", "20"))
+DTYPE = os.environ.get("FRN_BENCH_DTYPE", "bfloat16")
+
+
+def main():
+    from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
+    from frn_tpu.models.detector import FRNDetector, decode_detections, init_detector
+
+    cfg = FrameworkConfig(
+        geometry=DSEC,
+        model=ModelConfig(variant="fusion", depth=50, num_classes=3, compute_dtype=DTYPE),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0), batch_size=BATCH)
+
+    @jax.jit
+    def infer(rgb, event):
+        cls, reg = model.apply(variables, rgb, event, train=False)
+        return decode_detections(cls, reg, cfg)
+
+    geo = cfg.geometry
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.normal(0, 1, (BATCH, geo.height, geo.width, 3)), jnp.float32)
+    event = jnp.asarray(
+        rng.normal(0, 1, (BATCH, geo.height, geo.width, geo.event_channels)), jnp.float32
+    )
+
+    # warmup / compile
+    out = infer(rgb, event)
+    jax.block_until_ready(out)
+    out = infer(rgb, event)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(rgb, event)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "dsec_fusion_infer_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "img/s",
+                "vs_baseline": round(fps / (TARGET_MULTIPLier * A100_REFERENCE_FPS), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
