@@ -38,12 +38,15 @@ def main():
         geometry=DSEC,
         model=ModelConfig(variant="fusion", depth=50, num_classes=3, compute_dtype=DTYPE),
     )
+    from frn_tpu.models.detector import image_anchors
+
     model, variables = init_detector(cfg, jax.random.PRNGKey(0), batch_size=BATCH)
+    anchors = jax.device_put(image_anchors(cfg))
 
     @jax.jit
-    def infer(rgb, event):
+    def infer(variables, anchors, rgb, event):
         cls, reg = model.apply(variables, rgb, event, train=False)
-        return decode_detections(cls, reg, cfg)
+        return decode_detections(cls, reg, cfg, anchors=anchors)
 
     geo = cfg.geometry
     rng = np.random.default_rng(0)
@@ -52,16 +55,21 @@ def main():
         rng.normal(0, 1, (BATCH, geo.height, geo.width, geo.event_channels)), jnp.float32
     )
 
+    def sync(o):
+        # block_until_ready is a no-op through the axon relay; a host fetch of the
+        # last result is the only reliable barrier (execution is in-order)
+        np.asarray(o[0])
+
     # warmup / compile
-    out = infer(rgb, event)
-    jax.block_until_ready(out)
-    out = infer(rgb, event)
-    jax.block_until_ready(out)
+    out = infer(variables, anchors, rgb, event)
+    sync(out)
+    out = infer(variables, anchors, rgb, event)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = infer(rgb, event)
-    jax.block_until_ready(out)
+        out = infer(variables, anchors, rgb, event)
+    sync(out)
     elapsed = time.perf_counter() - t0
 
     fps = BATCH * ITERS / elapsed

@@ -1,0 +1,109 @@
+"""Shared CLI plumbing for the reference-compatible entry points.
+
+Flag names mirror the reference scripts (train_dsec.py:35-52, test_dsec.py:60-84)
+minus the hard-coded absolute default paths: paths are required flags here.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+
+from frn_tpu.config import FrameworkConfig, ModelConfig, TrainConfig, geometry_for
+
+FUSION_TO_VARIANT = {"fpn_fusion": "fusion", "rgb": "rgb", "event": "event"}
+
+
+def add_dataset_args(p: argparse.ArgumentParser, train: bool) -> None:
+    p.add_argument("--dataset_name", default="dsec", choices=["dsec", "ddd17"])
+    p.add_argument("--csv_classes", required=True, help="class list CSV (name,id)")
+    if train:
+        p.add_argument("--csv_train", required=True, help="training annotations CSV")
+        p.add_argument("--csv_val", default=None, help="validation annotations CSV")
+    p.add_argument("--csv_test", default=None, help="test annotations CSV")
+    p.add_argument("--root_img", required=True, help="root dir of RGB images")
+    p.add_argument("--root_event", required=True, help="root dir of event files")
+    p.add_argument("--event_type", default="voxel", choices=["voxel", "gray"])
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--fusion", default="fpn_fusion", choices=list(FUSION_TO_VARIANT))
+    p.add_argument("--depth", type=int, default=50, choices=[18, 34, 50])
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+
+
+def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] = None) -> FrameworkConfig:
+    geo = geometry_for(args.dataset_name)
+    if num_classes != geo.num_classes:
+        import dataclasses
+
+        geo = dataclasses.replace(
+            geo, num_classes=num_classes,
+            class_names=tuple(str(i) for i in range(num_classes)),
+        )
+    return FrameworkConfig(
+        geometry=geo,
+        model=ModelConfig(
+            variant=FUSION_TO_VARIANT[args.fusion],
+            depth=args.depth,
+            num_classes=num_classes,
+            compute_dtype=args.compute_dtype,
+        ),
+        train=TrainConfig(
+            batch_size=batch_size,
+            learning_rate=getattr(args, "lr", 1e-4),
+            epochs=epochs or getattr(args, "epochs", 60),
+        ),
+    )
+
+
+def build_csv_dataset(args, split_csv: str):
+    from frn_tpu.data.csv_dataset import CSVDetectionDataset
+
+    return CSVDetectionDataset(
+        geometry=args.dataset_name,
+        annotations_csv=split_csv,
+        class_map_csv=args.csv_classes,
+        event_dir=args.root_event,
+        img_dir=args.root_img,
+        event_type=args.event_type,
+    )
+
+
+def load_checkpoint_into_state(args, config, state):
+    """Load either an orbax directory or a torch .pt checkpoint into TrainState."""
+    path = args.checkpoint
+    if path is None:
+        return state, {}
+    if path.endswith(".pt") or path.endswith(".pth"):
+        from frn_tpu.convert.torch_import import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        template = {"params": state.params, "batch_stats": state.batch_stats}
+        converted = convert_state_dict(sd, template, variant=config.model.variant)
+        state = state.replace(
+            params=converted["params"], batch_stats=converted["batch_stats"]
+        )
+        return state, {}
+    from frn_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(path)
+    state, meta = mgr.restore(state)
+    mgr.close()
+    return state, meta
+
+
+def make_eval_fn(args, config, test_dataset):
+    """Periodic-eval callback for the Trainer: returns mAP@[.5:.95]."""
+    from frn_tpu.eval import evaluate_dataset, make_inference_fn
+
+    def eval_fn(model, state):
+        infer = make_inference_fn(
+            model, {"params": state.params, "batch_stats": state.batch_stats}, config
+        )
+        res = evaluate_dataset(test_dataset, infer, config, batch_size=8)
+        return res.summary["mAP"]
+
+    return eval_fn

@@ -1,0 +1,86 @@
+"""Evaluation entry point (replaces test_dsec.py / test_ddd17.py).
+
+Clean COCO-style mAP + fps, or the corruption-robustness sweep
+(--eval_corruption with --corruption_group 0|1|2, severities 1..5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from frn_tpu.cli.common import (
+    add_dataset_args,
+    add_model_args,
+    build_config,
+    build_csv_dataset,
+    load_checkpoint_into_state,
+)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate the FRN-TPU detector")
+    add_dataset_args(p, train=False)
+    add_model_args(p)
+    p.add_argument("--checkpoint", required=True, help=".pt (torch) or orbax dir")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--eval_corruption", action="store_true")
+    p.add_argument("--corruption_group", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument("--save_detect_folder", default="./eval_results")
+    p.add_argument("--load_detection", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.csv_test is None:
+        raise SystemExit("--csv_test is required for evaluation")
+
+    dataset = build_csv_dataset(args, args.csv_test)
+    config = build_config(args, dataset.num_classes(), args.batch_size)
+
+    from frn_tpu.train.loop import create_train_state
+
+    model, state, _ = create_train_state(config, jax.random.PRNGKey(0), batch_size=args.batch_size)
+    state, _ = load_checkpoint_into_state(args, config, state)
+
+    from frn_tpu.eval import corruption_sweep, evaluate_dataset, make_inference_fn
+
+    infer = make_inference_fn(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, config
+    )
+
+    os.makedirs(args.save_detect_folder, exist_ok=True)
+    if args.eval_corruption:
+        results = corruption_sweep(
+            dataset, infer, config,
+            corruption_group=args.corruption_group,
+            batch_size=args.batch_size,
+            save_root=args.save_detect_folder,
+            verbose=True,
+        )
+        for corruption, per_sev in results.items():
+            means = {s: round(float(np.mean(v)), 4) for s, v in per_sev.items()}
+            print(f"{corruption}: {means}")
+        with open(os.path.join(args.save_detect_folder, "corruption_aps.pkl"), "wb") as f:
+            pickle.dump(results, f)
+    else:
+        res = evaluate_dataset(
+            dataset, infer, config, batch_size=args.batch_size,
+            save_folder=args.save_detect_folder,
+            load_cached=args.load_detection, verbose=True,
+        )
+        print("fps", round(res.fps, 2))
+        print(json.dumps({k: round(v, 4) for k, v in res.summary.items()}, indent=2))
+        with open(os.path.join(args.save_detect_folder, "evaluation_aps.pkl"), "wb") as f:
+            pickle.dump(res.per_class_aps, f)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

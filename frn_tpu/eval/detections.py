@@ -20,12 +20,22 @@ from frn_tpu.models.detector import decode_detections
 
 
 def make_inference_fn(model, variables, config: FrameworkConfig) -> Callable:
-    """jit-compiled (rgb, event) -> (scores (B,M), labels (B,M), boxes (B,M,4))."""
+    """jit-compiled (rgb, event) -> (scores (B,M), labels (B,M), boxes (B,M,4)).
+
+    Variables and the anchor table ride as runtime jit arguments (not HLO
+    literals), keeping the serialized program small.
+    """
+    from frn_tpu.models.detector import image_anchors
+
+    anchors = jax.device_put(image_anchors(config))
 
     @jax.jit
-    def infer(rgb, event):
+    def _infer(variables, anchors, rgb, event):
         cls, reg = model.apply(variables, rgb, event, train=False)
-        return decode_detections(cls, reg, config)
+        return decode_detections(cls, reg, config, anchors=anchors)
+
+    def infer(rgb, event):
+        return _infer(variables, anchors, rgb, event)
 
     return infer
 

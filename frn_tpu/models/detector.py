@@ -141,13 +141,17 @@ def decode_detections(
     classification: jnp.ndarray,
     regression: jnp.ndarray,
     config: FrameworkConfig,
+    anchors: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched decode + clip + class-wise NMS, all on device.
 
     Returns (scores (B,M), labels (B,M) int32, boxes (B,M,4)); M = max_detections.
+    Pass `anchors` explicitly when calling under jit to keep the ~MB anchor table a
+    runtime argument rather than an embedded HLO literal.
     """
     geo, ev = config.geometry, config.eval
-    anchors = image_anchors(config)
+    if anchors is None:
+        anchors = image_anchors(config)
     boxes = decode_boxes(anchors, regression, std=config.box_coder.std)
     boxes = clip_boxes(boxes, (geo.height, geo.width))
     return batched_detection_postprocess(

@@ -24,7 +24,10 @@ class PyramidFeatures(nn.Module):
 
     def _up(self, x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
         if self.upsample == "nearest2x":
-            return nearest_upsample_2x(x)
+            y = nearest_upsample_2x(x)
+            # crop to the finer level's exact (ceil-division) shape; a no-op for
+            # 32-divisible geometries (the reference would shape-error otherwise)
+            return y[:, : target_hw[0], : target_hw[1], :]
         return bilinear_resize(x, target_hw)
 
     @nn.compact
