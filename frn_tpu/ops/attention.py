@@ -16,8 +16,14 @@ positions. The same reinterpretation is replicated exactly here with jnp.reshape
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# HW above which the Pallas flash kernel is used on TPU (below it, the dense
+# einsum path is already compute-bound and simpler)
+FLASH_MIN_TOKENS = 4096
 
 
 def nonlocal_attention(
@@ -28,6 +34,15 @@ def nonlocal_attention(
 ) -> jnp.ndarray:
     """softmax(phi . theta^T) . g -> (B, HW, C8). No 1/sqrt(d) scaling (matches ref)."""
     b, hw, c8 = g.shape
+
+    if hw >= FLASH_MIN_TOKENS and not os.environ.get("FRN_DISABLE_FLASH"):
+        from frn_tpu.ops.flash_attention import (
+            flash_attention_available,
+            flash_nonlocal_attention,
+        )
+
+        if flash_attention_available():
+            return flash_nonlocal_attention(g, theta, phi)
     if hw <= chunk:
         scores = jnp.einsum(
             "bqc,bkc->bqk", phi, theta, preferred_element_type=jnp.float32

@@ -1,0 +1,158 @@
+"""Pallas flash-attention kernel for the non-local fusion attention.
+
+Why this kernel exists: the REFusion cross-attention operates over HW = 19,200
+tokens at stage-1 resolution with a C/8 = 32 head dim. The jnp path (XLA) must
+materialize (chunk x HW) f32 score matrices in HBM around the softmax — measured
+64% of end-to-end inference time, entirely HBM-bandwidth-bound (tools/
+profile_components.py). This kernel computes softmax(Q K^T) V with the standard
+online-softmax recurrence, keeping scores resident in VMEM: one HBM read of
+Q/K/V and one write of O.
+
+Semantics match ops/attention.nonlocal_attention exactly (no 1/sqrt(d) scaling,
+softmax over the full key axis; Q=phi, K=theta, V=g per Attention.py:24-31).
+The head dim is zero-padded to 128 (TPU lane width): zero features contribute
+nothing to the dot products, and padded key rows are masked to -inf before the
+softmax. The backward pass recomputes through the jnp reference implementation
+(custom_vjp), so training gradients are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NEG_INF = -1e30
+
+
+def _flash_kernel(n_valid: int, block_k: int, num_k: int,
+                  q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, BK)
+
+    # mask padded key rows (global key index >= n_valid)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_scr[:]  # (BQ, 1)
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(k_idx == num_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_forward(
+    q: jnp.ndarray,  # (B, N, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, n, d = q.shape
+    assert d <= LANE, f"head dim {d} > {LANE} unsupported"
+
+    nq_pad = -(-n // block_q) * block_q
+    nk_pad = -(-n // block_k) * block_k
+    n_pad = max(nq_pad, nk_pad)
+    num_q = n_pad // block_q
+    num_k = n_pad // block_k
+
+    qp = _pad_to(_pad_to(q, LANE, 2), n_pad, 1)
+    kp = _pad_to(_pad_to(k, LANE, 2), n_pad, 1)
+    vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
+
+    kernel = functools.partial(_flash_kernel, n, block_k, num_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANE), lambda b_, q_, k_: (b_, q_, 0)),
+            pl.BlockSpec((1, block_k, LANE), lambda b_, q_, k_: (b_, k_, 0)),
+            pl.BlockSpec((1, block_k, LANE), lambda b_, q_, k_: (b_, k_, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, LANE), lambda b_, q_, k_: (b_, q_, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, LANE), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n, :d]
+
+
+def _reference_attention(g, theta, phi):
+    """jnp reference used for the backward pass (exact same math)."""
+    scores = jnp.einsum("bqc,bkc->bqk", phi, theta, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(g.dtype)
+    return jnp.einsum("bqk,bkc->bqc", attn, g, preferred_element_type=jnp.float32).astype(g.dtype)
+
+
+@jax.custom_vjp
+def flash_nonlocal_attention(g, theta, phi):
+    """softmax(phi . theta^T) . g via the Pallas kernel; grads via recompute."""
+    return _flash_forward(phi, theta, g)
+
+
+def _fwd(g, theta, phi):
+    return _flash_forward(phi, theta, g), (g, theta, phi)
+
+
+def _bwd(res, ct):
+    g, theta, phi = res
+    _, vjp = jax.vjp(_reference_attention, g, theta, phi)
+    return vjp(ct)
+
+
+flash_nonlocal_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention_available() -> bool:
+    """Pallas TPU lowering requires an actual TPU backend."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
