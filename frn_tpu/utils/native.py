@@ -65,6 +65,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.frn_tanh_normalize.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
             ]
+            lib.frn_event_subsample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -115,6 +120,26 @@ def native_voxelize_raw(
         _ptr(out, ctypes.c_float),
     )
     return out.reshape(num_bins, height, width)
+
+
+def native_event_subsample(
+    pos: np.ndarray, polarity: np.ndarray, height: int, width: int,
+    threshold: float = 1.0,
+) -> Optional[tuple]:
+    """Bilinear event subsampling (zoom augmentation). Returns (pos, mask) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.float32).copy()
+    polarity = np.ascontiguousarray(polarity, np.float32)
+    mask = np.zeros(len(pos), np.uint8)
+    count = np.zeros(height * width, np.float32)
+    lib.frn_event_subsample(
+        _ptr(pos, ctypes.c_float), _ptr(polarity, ctypes.c_float),
+        _ptr(mask, ctypes.c_uint8), _ptr(count, ctypes.c_float),
+        len(pos), height, width, threshold,
+    )
+    return pos, mask.astype(bool)
 
 
 def native_tanh_normalize(v: np.ndarray, threshold: float = 5.0) -> Optional[np.ndarray]:

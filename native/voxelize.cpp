@@ -56,6 +56,41 @@ void frn_voxelize_raw(const int32_t* x, const int32_t* y, const int64_t* t,
   }
 }
 
+// Bilinear event subsampling for zoom augmentation (reference augment.py:13-36,
+// numba kernels _add_event/_subsample): each fractional-coordinate event splats
+// bilinear weights into the 4 neighboring integer cells of a polarity
+// accumulator; when a cell's accumulated charge crosses the threshold, one
+// integer-coordinate event is emitted at that cell and the charge is drained.
+// pos is (n,2) float32 xy (modified in place to the emitted integer coords),
+// mask (n) uint8 output marks emitted events. Sequential by construction.
+void frn_event_subsample(float* pos, const float* polarity, uint8_t* mask,
+                         float* count /* (height*width) zeroed */, int64_t n,
+                         int32_t height, int32_t width, float threshold) {
+  auto add_event = [&](float x, float y, int32_t xl, int32_t yl, float p,
+                       int64_t i) {
+    if (xl < 0 || xl >= width || yl < 0 || yl >= height) return;
+    const int64_t idx = static_cast<int64_t>(yl) * width + xl;
+    count[idx] += p * (1.0f - std::fabs(x - xl)) * (1.0f - std::fabs(y - yl));
+    const float pol = count[idx] > 0 ? 1.0f : -1.0f;
+    if (pol * count[idx] > threshold) {
+      count[idx] -= pol * threshold;
+      mask[i] = 1;
+      pos[2 * i] = static_cast<float>(xl);
+      pos[2 * i + 1] = static_cast<float>(yl);
+    }
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = pos[2 * i], y = pos[2 * i + 1];
+    const float p = polarity[i];
+    const int32_t x0 = static_cast<int32_t>(x), x1 = x0 + 1;
+    const int32_t y0 = static_cast<int32_t>(y), y1 = y0 + 1;
+    add_event(x, y, x0, y0, p, i);
+    add_event(x, y, x1, y0, p, i);
+    add_event(x, y, x0, y1, p, i);
+    add_event(x, y, x1, y1, p, i);
+  }
+}
+
 // In-place tanh(v/thr) normalization if max|v| > thr (dsec_data.py:461-462).
 void frn_tanh_normalize(float* v, int64_t n, float thr) {
   float maxabs = 0.0f;
