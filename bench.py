@@ -31,6 +31,8 @@ DTYPE = os.environ.get("FRN_BENCH_DTYPE", "bfloat16")
 
 
 def main():
+    from frn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
     from frn_tpu.models.detector import FRNDetector, decode_detections, init_detector
 

@@ -24,6 +24,15 @@ from frn_tpu.core.boxes import pairwise_iou
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
     """Greedy NMS keep-mask over boxes sorted by descending score.
 
+    Exact torchvision-greedy semantics (a kept box suppresses later overlapping
+    boxes; suppressed boxes suppress nothing), computed as a Gauss-Jacobi fixpoint
+    instead of a T-step sequential scan: iterate
+        keep <- valid & !any_i(i < j & keep[i] & iou[i,j] > t)
+    until stable. After n sweeps every box whose suppression-chain depth is <= n is
+    final, so the loop converges to the greedy solution in chain-depth iterations
+    (typically 2-4 for detection boxes) of fully parallel (T,T) matrix ops —
+    hundreds of times fewer sequential steps than the naive loop on TPU.
+
     Args:
       boxes: (T, 4), already sorted by score descending.
       scores: (T,), descending; entries <= 0 are padding and never kept.
@@ -33,14 +42,21 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: floa
     t = boxes.shape[0]
     iou = pairwise_iou(boxes, boxes)  # (T, T)
     later = jnp.arange(t)[None, :] > jnp.arange(t)[:, None]  # j strictly after i
-    suppress_if_kept = (iou > iou_threshold) & later  # (T, T)
+    suppress_if_kept = ((iou > iou_threshold) & later).astype(jnp.float32)  # (T, T)
+    valid = scores > 0.0
 
-    def body(i, keep):
-        kept_i = keep[i] & (scores[i] > 0.0)
-        return keep & ~(suppress_if_kept[i] & kept_i)
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < t)
 
-    keep = jax.lax.fori_loop(0, t, body, jnp.ones((t,), dtype=bool))
-    return keep & (scores > 0.0)
+    def body(state):
+        keep, _, it = state
+        suppressed = (keep.astype(jnp.float32) @ suppress_if_kept) > 0.0
+        return valid & ~suppressed, keep, it + 1
+
+    init = (valid, jnp.zeros_like(valid), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
 
 
 def class_aware_nms(
