@@ -35,7 +35,11 @@ except ImportError:  # pragma: no cover
 
 from frn_tpu.config import DSEC_DET, DatasetGeometry
 from frn_tpu.data.events import H5EventReader
-from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+from frn_tpu.ops.voxelize import (
+    event_representation_np,
+    normalize_event_voxel_np,
+    voxelize_events_np,
+)
 
 # source class vocabulary of DSEC-Det tracks (dsec-det lib), and the reference's
 # remap onto 2 detector classes (dsec_data.py:151-152)
@@ -168,12 +172,14 @@ class DSECDetDataset:
         min_bbox_diag: float = 0.0,
         num_us: int = -1,
         normalize_rgb: bool = False,  # the reference raw path feeds [0,1] RGB
+        event_representation: str = "voxel",  # test_dsec_det.py:65
     ):
         self.geometry = geometry
         self.classes = classes
         self.time_window_us = time_window_us
         self.num_us = num_us
         self.normalize_rgb = normalize_rgb
+        self.event_representation = event_representation
         self.width, self.height = geometry.width, geometry.height
 
         if split_config is None and split_yaml:
@@ -274,12 +280,14 @@ class DSECDetDataset:
 
         t_end = ts0 if self.num_us < 0 else ts0 + self.num_us
         ev = seq.events.window(t_end - self.time_window_us, t_end)
-        voxel = voxelize_events_np(
+        voxel = event_representation_np(
             ev["x"].astype(np.int64), ev["y"].astype(np.int64), ev["t"], ev["p"],
+            kind=self.event_representation,
             num_bins=self.geometry.event_channels,
             height=self.height, width=self.width,
         )
-        voxel = normalize_event_voxel_np(voxel)
+        if self.event_representation == "voxel":
+            voxel = normalize_event_voxel_np(voxel)
 
         return {
             "event": np.transpose(voxel, (1, 2, 0)).astype(np.float32),

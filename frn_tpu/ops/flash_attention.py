@@ -119,6 +119,11 @@ def _flash_forward(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, LANE), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # batch and query blocks are independent; the key axis is the online-
+            # softmax reduction and must run sequentially
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :n, :d]

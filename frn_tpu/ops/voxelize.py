@@ -119,6 +119,60 @@ def voxelize_events(
     return flat[:size].reshape(num_bins, height, width)
 
 
+def event_representation_np(
+    x: np.ndarray,
+    y: np.ndarray,
+    t: np.ndarray,
+    p: np.ndarray,
+    kind: str = "voxel",
+    num_bins: int = 5,
+    height: int = 480,
+    width: int = 640,
+) -> np.ndarray:
+    """Alternative event encodings (reference test_dsec_det.py:65
+    --event_representation {voxel, time_surface, event_count, binary}).
+
+    All return (num_bins, height, width) float32 so the detector's 5-channel event
+    stem is representation-agnostic:
+      * voxel:        signed temporal binning (default training representation)
+      * time_surface: per-pixel normalized timestamp of the most recent event,
+                      signed by polarity, replicated across bins weighted by bin
+                      recency (classic exponential-free linear time surface)
+      * event_count:  per-bin unsigned event counts (|polarity| accumulation)
+      * binary:       per-bin event occupancy in {0, 1}
+    """
+    if kind == "voxel":
+        return voxelize_events_np(x, y, t, p, num_bins, height, width)
+
+    mask = (y < height) & (x < width)
+    x, y, t, p = x[mask], y[mask], t[mask], p[mask]
+    out = np.zeros((num_bins, height, width), np.float32)
+    if len(t) == 0:
+        return out
+
+    if kind == "time_surface":
+        t = t.astype(np.float64)
+        t_norm = (t - t[0]) / (t[-1] - t[0] + 1e-6)
+        pol = (p > 0).astype(np.float32) * 2.0 - 1.0
+        surface = np.zeros((height, width), np.float32)
+        # events are time-sorted: later writes win == most-recent timestamp
+        surface[y, x] = (t_norm * pol).astype(np.float32)
+        scale = (np.arange(num_bins, dtype=np.float32) + 1.0) / num_bins
+        return surface[None] * scale[:, None, None]
+
+    t = t.astype(np.float64)
+    t_norm = (t - t[0]) / (t[-1] - t[0] + 1e-6)
+    t_bin = np.clip((t_norm * (num_bins - 1)).astype(np.int64), 0, num_bins - 1)
+    lin = (t_bin * height + y.astype(np.int64)) * width + x.astype(np.int64)
+    counts = np.bincount(lin, minlength=num_bins * height * width)
+    counts = counts.astype(np.float32).reshape(num_bins, height, width)
+    if kind == "event_count":
+        return counts
+    if kind == "binary":
+        return (counts > 0).astype(np.float32)
+    raise ValueError(f"unknown event representation {kind!r}")
+
+
 def normalize_event_voxel(voxel: jnp.ndarray, threshold: float = 5.0) -> jnp.ndarray:
     """tanh(v/5) normalization applied only when max|v| > 5 (dsec_data.py:461-462)."""
     big = jnp.max(jnp.abs(voxel)) > threshold

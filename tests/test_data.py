@@ -165,3 +165,18 @@ def test_collate_truncates_annots():
     b = collate_fixed([s], geo, max_annots=4)
     assert b["annot"].shape == (1, 4, 5)
     assert (b["annot"] == 1).all()
+
+
+def test_event_representations():
+    from frn_tpu.ops.voxelize import event_representation_np
+
+    x, y, t, p = _random_events(n=2000, overflow=False)
+    for kind in ("voxel", "time_surface", "event_count", "binary"):
+        out = event_representation_np(x, y, t, p, kind=kind, num_bins=5, height=48, width=64)
+        assert out.shape == (5, 48, 64)
+        assert np.isfinite(out).all()
+    binary = event_representation_np(x, y, t, p, kind="binary", num_bins=5, height=48, width=64)
+    counts = event_representation_np(x, y, t, p, kind="event_count", num_bins=5, height=48, width=64)
+    assert set(np.unique(binary)) <= {0.0, 1.0}
+    assert (counts >= binary).all()
+    assert counts.sum() == len(x)  # every event lands in exactly one count cell
