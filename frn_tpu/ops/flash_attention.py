@@ -130,7 +130,7 @@ def _flash_forward(
 
 
 def _reference_attention(g, theta, phi):
-    """jnp reference used for the backward pass (exact same math)."""
+    """Dense jnp reference (tests + small shapes only: materializes (HW)^2)."""
     scores = jnp.einsum("bqc,bkc->bqk", phi, theta, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(scores, axis=-1).astype(g.dtype)
     return jnp.einsum("bqk,bkc->bqc", attn, g, preferred_element_type=jnp.float32).astype(g.dtype)
@@ -138,7 +138,12 @@ def _reference_attention(g, theta, phi):
 
 @jax.custom_vjp
 def flash_nonlocal_attention(g, theta, phi):
-    """softmax(phi . theta^T) . g via the Pallas kernel; grads via recompute."""
+    """softmax(phi . theta^T) . g via the Pallas kernel.
+
+    Backward: blockwise recompute (one query block of scores live at a time, like
+    the forward) — the dense softmax VJP would materialize the full (HW)^2 matrix
+    and OOM at stage-1 resolution.
+    """
     return _flash_forward(phi, theta, g)
 
 
@@ -146,10 +151,36 @@ def _fwd(g, theta, phi):
     return _flash_forward(phi, theta, g), (g, theta, phi)
 
 
-def _bwd(res, ct):
+def _bwd(res, ct, block_q: int = 1024):
     g, theta, phi = res
-    _, vjp = jax.vjp(_reference_attention, g, theta, phi)
-    return vjp(ct)
+    b, n, d = g.shape
+    f32 = jnp.float32
+    gf, tf, pf, ctf = (a.astype(f32) for a in (g, theta, phi, ct))
+
+    num_blocks = -(-n // block_q)
+    n_pad = num_blocks * block_q
+    phi_p = _pad_to(pf, n_pad, 1).reshape(b, num_blocks, block_q, d).transpose(1, 0, 2, 3)
+    ct_p = _pad_to(ctf, n_pad, 1).reshape(b, num_blocks, block_q, d).transpose(1, 0, 2, 3)
+    # padded query rows: softmax over real keys is well-defined; their ct rows are
+    # zero-padded so they contribute nothing to the dg/dtheta accumulators.
+
+    def step(carry, inputs):
+        dg_acc, dth_acc = carry
+        phi_blk, ct_blk = inputs  # (B, BQ, D)
+        s = jnp.einsum("bqc,bkc->bqk", phi_blk, tf, preferred_element_type=f32)
+        a = jax.nn.softmax(s, axis=-1)  # (B, BQ, N)
+        da = jnp.einsum("bqc,bkc->bqk", ct_blk, gf, preferred_element_type=f32)
+        ds = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))
+        dphi_blk = jnp.einsum("bqk,bkc->bqc", ds, tf, preferred_element_type=f32)
+        dg_acc = dg_acc + jnp.einsum("bqk,bqc->bkc", a, ct_blk, preferred_element_type=f32)
+        dth_acc = dth_acc + jnp.einsum("bqk,bqc->bkc", ds, phi_blk, preferred_element_type=f32)
+        return (dg_acc, dth_acc), dphi_blk
+
+    (dg, dth), dphi_blocks = jax.lax.scan(
+        step, (jnp.zeros_like(gf), jnp.zeros_like(tf)), (phi_p, ct_p)
+    )
+    dphi = dphi_blocks.transpose(1, 0, 2, 3).reshape(b, n_pad, d)[:, :n]
+    return dg.astype(g.dtype), dth.astype(theta.dtype), dphi.astype(phi.dtype)
 
 
 flash_nonlocal_attention.defvjp(_fwd, _bwd)
