@@ -34,6 +34,7 @@ class Trainer:
         log_every: int = 50,
         use_mesh: bool = True,
         seed: Optional[int] = None,
+        metrics_path: Optional[str] = None,
     ):
         self.config = config
         self.dataset = dataset
@@ -61,6 +62,11 @@ class Trainer:
 
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         self.history: list = []
+
+        from frn_tpu.utils.profiling import MetricsLogger, StepTimer
+
+        self.metrics = MetricsLogger(metrics_path)
+        self.timer = StepTimer()
 
     def resume(self) -> bool:
         """Restore the latest checkpoint if present (train_dsec.py:98-104)."""
@@ -93,8 +99,10 @@ class Trainer:
         it = device_prefetch(iter(self._loader()), size=2, sharding=sharding)
         for i, batch in enumerate(it):
             self._rng, step_rng = jax.random.split(self._rng)
+            self.timer.start()
             self.state, metrics = self.step_fn(self.state, batch, step_rng)
             loss = float(metrics["loss"])
+            self.timer.stop()  # the float() above already synced
             skipped += float(metrics["skipped"])
             if np.isfinite(loss):
                 epoch_losses.append(loss)
@@ -105,6 +113,11 @@ class Trainer:
                     f"reg {float(metrics['reg_loss']):.5f} "
                     f"running {np.mean(self.loss_window):.5f}",
                     flush=True,
+                )
+                self.metrics.log(
+                    int(self.state.step), epoch=self.epoch,
+                    loss=loss, cls_loss=float(metrics["cls_loss"]),
+                    reg_loss=float(metrics["reg_loss"]), **self.timer.stats(),
                 )
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         return {
