@@ -26,23 +26,41 @@ def add_dataset_args(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--root_img", required=True, help="root dir of RGB images")
     p.add_argument("--root_event", required=True, help="root dir of event files")
     p.add_argument("--event_type", default="voxel", choices=["voxel", "gray"])
+    # geometry overrides (off-benchmark resolutions, fast smoke runs)
+    p.add_argument("--image_height", type=int, default=None)
+    p.add_argument("--image_width", type=int, default=None)
 
 
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fusion", default="fpn_fusion", choices=list(FUSION_TO_VARIANT))
     p.add_argument("--depth", type=int, default=50, choices=[18, 34, 50])
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--feature_size", type=int, default=256)
 
 
-def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] = None) -> FrameworkConfig:
+def geometry_from_args(args, num_classes: Optional[int] = None):
+    import dataclasses
+
     geo = geometry_for(args.dataset_name)
-    if num_classes != geo.num_classes:
-        import dataclasses
-
+    if num_classes is not None and num_classes != geo.num_classes:
         geo = dataclasses.replace(
             geo, num_classes=num_classes,
             class_names=tuple(str(i) for i in range(num_classes)),
         )
+    if getattr(args, "event_type", "voxel") == "gray":
+        # e2vid grayscale reconstructions are single-channel (dataloader.py:306-319)
+        geo = dataclasses.replace(geo, event_channels=1)
+    if getattr(args, "image_height", None) or getattr(args, "image_width", None):
+        geo = dataclasses.replace(
+            geo,
+            height=args.image_height or geo.height,
+            width=args.image_width or geo.width,
+        )
+    return geo
+
+
+def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] = None) -> FrameworkConfig:
+    geo = geometry_from_args(args, num_classes)
     return FrameworkConfig(
         geometry=geo,
         model=ModelConfig(
@@ -50,6 +68,7 @@ def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] 
             depth=args.depth,
             num_classes=num_classes,
             compute_dtype=args.compute_dtype,
+            feature_size=getattr(args, "feature_size", 256),
         ),
         train=TrainConfig(
             batch_size=batch_size,
@@ -63,7 +82,7 @@ def build_csv_dataset(args, split_csv: str):
     from frn_tpu.data.csv_dataset import CSVDetectionDataset
 
     return CSVDetectionDataset(
-        geometry=args.dataset_name,
+        geometry=geometry_from_args(args),
         annotations_csv=split_csv,
         class_map_csv=args.csv_classes,
         event_dir=args.root_event,

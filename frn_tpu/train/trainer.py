@@ -56,7 +56,12 @@ class Trainer:
         self.best_map = -1.0
         self._rng = jax.random.PRNGKey(seed + 1)
 
-        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+        n_dev = len(jax.devices())
+        self.mesh = (
+            make_mesh()
+            if use_mesh and n_dev > 1 and config.train.batch_size % n_dev == 0
+            else None
+        )
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 

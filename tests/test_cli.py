@@ -1,0 +1,89 @@
+"""CLI smoke tests: drive train -> test -> visualize mains at a tiny geometry."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from frn_tpu.config import DSEC
+from frn_tpu.data.synthetic import make_csv_fixture
+
+TINY = dataclasses.replace(DSEC, height=64, width=64)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_fix")
+    return make_csv_fixture(str(root), geometry=TINY, num_images=4, seed=2)
+
+
+def _common_flags(fix):
+    return [
+        "--dataset_name", "dsec",
+        "--csv_classes", fix["class_map_csv"],
+        "--root_img", fix["img_dir"],
+        "--root_event", fix["event_dir"],
+        "--image_height", "64", "--image_width", "64",
+        "--fusion", "rgb", "--depth", "18", "--feature_size", "16",
+    ]
+
+
+def test_cli_train_test_visualize(fixture, tmp_path, capsys):
+    from frn_tpu.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "ckpt")
+    train_main(
+        _common_flags(fixture)
+        + ["--csv_train", fixture["annotations_csv"], "--epochs", "1",
+           "--batch_size", "2", "--checkpoint_dir", ckpt]
+    )
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out
+    assert os.path.isdir(ckpt)
+
+    from frn_tpu.cli.test import main as test_main
+
+    test_main(
+        _common_flags(fixture)
+        + ["--csv_test", fixture["annotations_csv"], "--checkpoint", ckpt,
+           "--batch_size", "2",
+           "--save_detect_folder", str(tmp_path / "eval")]
+    )
+    out = capsys.readouterr().out
+    assert '"mAP"' in out and "fps" in out
+    assert os.path.exists(tmp_path / "eval" / "detections.txt")
+
+    from frn_tpu.cli.visualize import main as viz_main
+
+    viz_main(
+        _common_flags(fixture)
+        + ["--csv_test", fixture["annotations_csv"], "--checkpoint", ckpt,
+           "--output_dir", str(tmp_path / "viz"), "--max_images", "1",
+           "--score_threshold", "0.0"]
+    )
+    assert os.path.exists(tmp_path / "viz" / "000000.png")
+
+
+def test_cli_gray_event_type(fixture, tmp_path):
+    # gray e2vid channel: 1-channel event stem; fabricate gray pngs next to npz
+    import cv2
+
+    rng = np.random.default_rng(0)
+    for dirpath, _, files in os.walk(fixture["event_dir"]):
+        for f in files:
+            if f.endswith(".npz"):
+                png = os.path.join(dirpath, f.replace(".npz", ".png"))
+                cv2.imwrite(png, rng.integers(0, 255, (64, 64), np.uint8))
+
+    from frn_tpu.cli.train import main as train_main
+
+    train_main(
+        _common_flags(fixture)
+        + ["--csv_train", fixture["annotations_csv"], "--epochs", "1",
+           "--batch_size", "2", "--event_type", "gray",
+           "--checkpoint_dir", str(tmp_path / "ckpt_gray"),
+           "--fusion", "event"]
+    )
+    assert os.path.isdir(tmp_path / "ckpt_gray")
