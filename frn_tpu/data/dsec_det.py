@@ -173,6 +173,7 @@ class DSECDetDataset:
         num_us: int = -1,
         normalize_rgb: bool = False,  # the reference raw path feeds [0,1] RGB
         event_representation: str = "voxel",  # test_dsec_det.py:65
+        only_perfect_tracks: bool = False,  # dsec_utils.py:123-148
     ):
         self.geometry = geometry
         self.classes = classes
@@ -198,9 +199,31 @@ class DSECDetDataset:
         self.class_remap = compute_class_mapping(classes, SOURCE_CLASSES, CLASS_MAPPING)
         self._index: List[Tuple[int, int, int]] = []  # (seq_idx, img_i0, img_i1)
         self._track_masks: List[np.ndarray] = []
-        self._build_index(min_bbox_height, min_bbox_diag)
+        self._build_index(min_bbox_height, min_bbox_diag, only_perfect_tracks)
 
-    def _build_index(self, min_h: float, min_diag: float):
+    @staticmethod
+    def _is_perfect_pair(tr0: np.ndarray, tr1: np.ndarray) -> bool:
+        """Track continuity (dsec_utils.py is_invalid_track, inverted): same track
+        ids at both frames and per-track IoU >= 0.10."""
+        if len(tr0) != len(tr1):
+            return False
+        tr0 = tr0[np.argsort(tr0["track_id"])]
+        tr1 = tr1[np.argsort(tr1["track_id"])]
+        if not (tr0["track_id"] == tr1["track_id"]).all():
+            return False
+        if len(tr0) == 0:
+            return True
+        x1a, y1a = tr0["x"], tr0["y"]
+        x2a, y2a = x1a + tr0["w"], y1a + tr0["h"]
+        x1b, y1b = tr1["x"], tr1["y"]
+        x2b, y2b = x1b + tr1["w"], y1b + tr1["h"]
+        iw = np.maximum(np.minimum(x2a, x2b) - np.maximum(x1a, x1b), 0)
+        ih = np.maximum(np.minimum(y2a, y2b) - np.maximum(y1a, y1b), 0)
+        inter = iw * ih
+        union = tr0["w"] * tr0["h"] + tr1["w"] * tr1["h"] - inter + 1e-9
+        return bool((inter / union).min() >= 0.10)
+
+    def _build_index(self, min_h: float, min_diag: float, only_perfect: bool):
         """filter_tracks (dsec_utils.py:50-78): valid images -> consecutive pairs."""
         for si, seq in enumerate(self.sequences):
             tracks = seq.tracks
@@ -217,6 +240,13 @@ class DSECDetDataset:
             valid_idx = np.nonzero(np.isin(seq.timestamps, valid_ts))[0]
             consecutive = valid_idx[:-1][np.diff(valid_idx) == 1]
             for i0 in consecutive:
+                if only_perfect:
+                    ts0 = int(seq.timestamps[i0])
+                    ts1 = int(seq.timestamps[i0 + 1])
+                    tr0 = tracks[final & (tracks["t"] == ts0)]
+                    tr1 = tracks[final & (tracks["t"] == ts1)]
+                    if not self._is_perfect_pair(tr0, tr1):
+                        continue
                 self._index.append((si, int(i0), int(i0) + 1))
 
     # ------------------------------------------------ eval-compatible surface

@@ -84,3 +84,25 @@ def test_annotations_match_tracks(fixture_root):
     assert len(ann) == len(raw)
     # x2-x1 == w (within crop clamping)
     np.testing.assert_allclose(ann[:, 2] - ann[:, 0], np.minimum(raw["w"], TINY.width - 1 - raw["x"]), atol=1e-4)
+
+
+def test_only_perfect_tracks(fixture_root):
+    # fixture objects drift 4px/frame with constant size -> IoU >> 0.1, same ids
+    ds_all = DSECDetDataset(fixture_root, geometry=TINY)
+    ds_perfect = DSECDetDataset(fixture_root, geometry=TINY, only_perfect_tracks=True)
+    assert len(ds_perfect) == len(ds_all)  # synthetic tracks are all continuous
+
+    # corrupt one frame's tracks: drop an object at one timestamp
+    import numpy as np
+
+    seq = ds_all.sequences[0]
+    tracks = seq.tracks.copy()
+    ts_mid = int(seq.timestamps[2])
+    keep = ~((tracks["t"] == ts_mid) & (tracks["track_id"] == 1))
+    np.save(str(seq.root / "object_detections/left/tracks.npy"), tracks[keep])
+    try:
+        ds2 = DSECDetDataset(fixture_root, geometry=TINY, only_perfect_tracks=True)
+        # pairs touching the corrupted frame are dropped
+        assert len(ds2) < len(ds_perfect)
+    finally:
+        np.save(str(seq.root / "object_detections/left/tracks.npy"), tracks)
