@@ -167,10 +167,13 @@ def make_dsec_det_fixture(
         track_rows = []
         all_x, all_y, all_t, all_p = [], [], [], []
         objs = []
+        max_w = max(geo.width // 4, 24)
+        max_h = max(geo.height // 4, 24)
         for k in range(2):
-            bw, bh = int(rng.integers(40, 90)), int(rng.integers(40, 90))
-            x1 = int(rng.integers(0, geo.width - bw - frames_per_sequence * 4))
-            y1 = int(rng.integers(0, geo.height - bh))
+            bw = int(rng.integers(max_w // 2, max_w))
+            bh = int(rng.integers(max_h // 2, max_h))
+            x1 = int(rng.integers(0, max(geo.width - bw - frames_per_sequence * 4, 1)))
+            y1 = int(rng.integers(0, max(geo.height - bh, 1)))
             objs.append([x1, y1, bw, bh, int(rng.integers(0, 8)) if False else (2 if k == 0 else 0)])
             # class ids in the real tracks: DSEC classes, e.g. 0=pedestrian, 2=car
 
