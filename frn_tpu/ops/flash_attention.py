@@ -164,16 +164,25 @@ def _bwd(res, ct, block_q: int = 1024):
     # padded query rows: softmax over real keys is well-defined; their ct rows are
     # zero-padded so they contribute nothing to the dg/dtheta accumulators.
 
+    # the (B, BQ, N) intermediates dominate HBM traffic; storing the softmax and
+    # its cotangent in bf16 halves it (grads stay f32 in the accumulators)
+    mat_dtype = jnp.bfloat16 if g.dtype == jnp.bfloat16 else f32
+
     def step(carry, inputs):
         dg_acc, dth_acc = carry
         phi_blk, ct_blk = inputs  # (B, BQ, D)
         s = jnp.einsum("bqc,bkc->bqk", phi_blk, tf, preferred_element_type=f32)
         a = jax.nn.softmax(s, axis=-1)  # (B, BQ, N)
         da = jnp.einsum("bqc,bkc->bqk", ct_blk, gf, preferred_element_type=f32)
-        ds = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))
-        dphi_blk = jnp.einsum("bqk,bkc->bqc", ds, tf, preferred_element_type=f32)
-        dg_acc = dg_acc + jnp.einsum("bqk,bqc->bkc", a, ct_blk, preferred_element_type=f32)
-        dth_acc = dth_acc + jnp.einsum("bqk,bqc->bkc", ds, phi_blk, preferred_element_type=f32)
+        ds = (a * (da - jnp.sum(a * da, axis=-1, keepdims=True))).astype(mat_dtype)
+        a = a.astype(mat_dtype)
+        dphi_blk = jnp.einsum("bqk,bkc->bqc", ds, tf.astype(mat_dtype), preferred_element_type=f32)
+        dg_acc = dg_acc + jnp.einsum(
+            "bqk,bqc->bkc", a, ct_blk.astype(mat_dtype), preferred_element_type=f32
+        )
+        dth_acc = dth_acc + jnp.einsum(
+            "bqk,bqc->bkc", ds, phi_blk.astype(mat_dtype), preferred_element_type=f32
+        )
         return (dg_acc, dth_acc), dphi_blk
 
     (dg, dth), dphi_blocks = jax.lax.scan(
