@@ -16,6 +16,13 @@ from frn_tpu.config import FrameworkConfig, ModelConfig, TrainConfig, geometry_f
 FUSION_TO_VARIANT = {"fpn_fusion": "fusion", "rgb": "rgb", "event": "event"}
 
 
+def setup_runtime() -> None:
+    """Per-entry-point runtime setup: persistent XLA compilation cache."""
+    from frn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def add_dataset_args(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--dataset_name", default="dsec", choices=["dsec", "ddd17"])
     p.add_argument("--csv_classes", required=True, help="class list CSV (name,id)")
@@ -74,6 +81,7 @@ def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] 
             batch_size=batch_size,
             learning_rate=getattr(args, "lr", 1e-4),
             epochs=epochs or getattr(args, "epochs", 60),
+            warmup_steps=getattr(args, "warmup_steps", 0),
         ),
     )
 

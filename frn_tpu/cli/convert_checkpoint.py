@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=50)
     args = p.parse_args(argv)
 
+    from frn_tpu.cli.common import setup_runtime
+
+    setup_runtime()
+
     from frn_tpu.convert.torch_import import convert_state_dict, load_torch_checkpoint
     from frn_tpu.train.checkpoint import CheckpointManager
     from frn_tpu.train.loop import create_train_state

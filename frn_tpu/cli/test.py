@@ -38,6 +38,10 @@ def get_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+
+    from frn_tpu.cli.common import setup_runtime
+
+    setup_runtime()
     if args.csv_test is None:
         raise SystemExit("--csv_test is required for evaluation")
 

@@ -35,6 +35,10 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
+    from frn_tpu.cli.common import setup_runtime
+
+    setup_runtime()
+
     from frn_tpu.config import DSEC_DET, FrameworkConfig, ModelConfig
     from frn_tpu.data.dsec_det import DSECDetDataset
     from frn_tpu.eval import evaluate_dataset, make_inference_fn

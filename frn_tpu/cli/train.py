@@ -34,11 +34,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", default="./checkpoints")
     p.add_argument("--checkpoint_every", type=int, default=5)
     p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (recommended when training from scratch)")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+
+    from frn_tpu.cli.common import setup_runtime
+
+    setup_runtime()
 
     dataset = build_csv_dataset(args, args.csv_train)
     config = build_config(args, dataset.num_classes(), args.batch_size, args.epochs)

@@ -32,6 +32,10 @@ def get_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
+    from frn_tpu.cli.common import setup_runtime
+
+    setup_runtime()
+
     from frn_tpu.config import DSEC_DET, FrameworkConfig, ModelConfig, TrainConfig
     from frn_tpu.data.dsec_det import DSECDetDataset
 
@@ -49,6 +53,7 @@ def main(argv=None):
             batch_size=args.batch_size, learning_rate=args.lr,
             grad_clip_norm=1.0, accum_steps=1, epochs=args.epochs,
             plateau_factor=0.5,
+            loss_skip_threshold=50.0,  # fast-trainer guard (train_dsec_det_fast.py:256)
         ),
     )
 

@@ -157,6 +157,17 @@ class TrainConfig:
     plateau_factor: float = 0.1
     checkpoint_every: int = 5
     max_annots_per_image: int = 64  # static annotation padding
+    # Skip (zero-grad) steps whose loss exceeds this (train_dsec_det_fast.py:256-258
+    # uses 50). None = only non-finite losses are skipped (the canonical trainers
+    # train_dsec.py/train_ddd17.py have no magnitude guard); a finite threshold can
+    # permanently freeze from-scratch training where early losses are legitimately
+    # large (e.g. under RGB modality dropout at random init).
+    loss_skip_threshold: Optional[float] = None
+    # Linear LR warmup over the first N optimizer steps. 0 = reference recipe
+    # (reference workflows always start from pretrained weights; from-scratch
+    # training needs warmup because the first full-size Adam step saturates the
+    # zero-init classification head).
+    warmup_steps: int = 0
     seed: int = 0
 
 

@@ -12,7 +12,12 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from frn_tpu.models.layers import Conv, c2_xavier_init
+from frn_tpu.models.layers import (
+    Conv,
+    c2_xavier_init,
+    torch_default_bias_init,
+    torch_default_conv_init,
+)
 from frn_tpu.ops.attention import nonlocal_attention, reference_view_to_nhwc
 
 
@@ -82,8 +87,16 @@ class REFusion(nn.Module):
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        a0 = Conv(self.channels, 1, 1, 0, dtype=self.dtype, name="conv0_rgb")(a)
-        b0 = Conv(self.channels, 1, 1, 0, dtype=self.dtype, name="conv0_evt")(b)
+        # torch-default init: the reference's re-init loop runs before self.fus is
+        # assigned (model.py:229 vs :247), so these keep nn.Conv2d defaults — with
+        # the larger sqrt(2/n) init, the multiplicative interaction below amplifies
+        # feature magnitudes ~6x per stage and the random-init model explodes.
+        init = torch_default_conv_init()
+        bias = torch_default_bias_init(self.channels)
+        a0 = Conv(self.channels, 1, 1, 0, kernel_init=init, bias_init=bias,
+                  dtype=self.dtype, name="conv0_rgb")(a)
+        b0 = Conv(self.channels, 1, 1, 0, kernel_init=init, bias_init=bias,
+                  dtype=self.dtype, name="conv0_evt")(b)
         mul = a0 * b0
         a1 = a0 + mul
         b1 = b0 + mul

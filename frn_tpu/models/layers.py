@@ -24,6 +24,26 @@ def torch_conv_init(kernel_size: int, out_channels: int) -> Callable:
     return init
 
 
+def torch_default_conv_init() -> Callable:
+    """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) ==
+    uniform(+-1/sqrt(fan_in)). Used where the reference's global re-init loop does
+    NOT reach: the REFusion 1x1 convs are registered after the loop runs
+    (model.py:229-235 vs :247-252), so they keep torch defaults."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2]
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def torch_default_bias_init(fan_in: int) -> Callable:
+    """torch conv bias default: uniform(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 def c2_xavier_init() -> Callable:
     """fvcore c2_xavier_fill (Attention.py:16-17): kaiming_uniform(a=1) ==
     uniform(+-sqrt(3 / fan_in)), bias zero."""

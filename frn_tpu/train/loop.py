@@ -41,10 +41,17 @@ class TrainState:
 
 def make_optimizer(config: FrameworkConfig) -> optax.GradientTransformation:
     tc = config.train
-    inner = optax.chain(
+    parts = [
         optax.clip_by_global_norm(tc.grad_clip_norm),
         optax.inject_hyperparams(optax.adam)(learning_rate=tc.learning_rate),
-    )
+    ]
+    if tc.warmup_steps > 0:
+        # linear warmup multiplier on top of the (plateau-scheduled) base lr
+        warmup = tc.warmup_steps
+        parts.append(
+            optax.scale_by_schedule(lambda count: jnp.minimum(1.0, (count + 1) / warmup))
+        )
+    inner = optax.chain(*parts)
     if tc.accum_steps > 1:
         return optax.MultiSteps(inner, every_k_schedule=tc.accum_steps)
     return inner
@@ -87,10 +94,16 @@ def make_train_step(
     model: FRNDetector,
     tx: optax.GradientTransformation,
     config: FrameworkConfig,
-    loss_skip_threshold: float = 50.0,
+    loss_skip_threshold: Optional[float] = None,
     donate: bool = True,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    loss_skip_threshold defaults to config.train.loss_skip_threshold; None means
+    only non-finite losses are skipped.
+    """
+    if loss_skip_threshold is None:
+        loss_skip_threshold = config.train.loss_skip_threshold
 
     def loss_fn(params, batch_stats, batch, rng):
         cls, reg = model.apply(
@@ -106,8 +119,10 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
 
-        # safe step: non-finite or exploding loss contributes nothing
-        ok = jnp.isfinite(loss) & (loss < loss_skip_threshold)
+        # safe step: non-finite (and optionally exploding) loss contributes nothing
+        ok = jnp.isfinite(loss)
+        if loss_skip_threshold is not None:
+            ok = ok & (loss < loss_skip_threshold)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
         )

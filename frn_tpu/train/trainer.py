@@ -102,29 +102,34 @@ class Trainer:
         t0 = time.perf_counter()
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         it = device_prefetch(iter(self._loader()), size=2, sharding=sharding)
+        pending = []  # device arrays; fetched lazily so steps don't sync the host
+        t_window = time.perf_counter()
         for i, batch in enumerate(it):
             self._rng, step_rng = jax.random.split(self._rng)
-            self.timer.start()
             self.state, metrics = self.step_fn(self.state, batch, step_rng)
-            loss = float(metrics["loss"])
-            self.timer.stop()  # the float() above already synced
-            skipped += float(metrics["skipped"])
-            if np.isfinite(loss):
-                epoch_losses.append(loss)
-                self.loss_window.append(loss)
+            pending.append(metrics)
             if self.log_every and (i + 1) % self.log_every == 0:
+                loss = float(metrics["loss"])  # syncs once per log window
+                dt = (time.perf_counter() - t_window) / self.log_every
+                t_window = time.perf_counter()
+                self.loss_window.append(loss)
                 print(
                     f"epoch {self.epoch} iter {i + 1}: cls {float(metrics['cls_loss']):.5f} "
                     f"reg {float(metrics['reg_loss']):.5f} "
-                    f"running {np.mean(self.loss_window):.5f}",
+                    f"running {np.mean(self.loss_window):.5f} ({dt * 1e3:.0f} ms/step)",
                     flush=True,
                 )
                 self.metrics.log(
                     int(self.state.step), epoch=self.epoch,
                     loss=loss, cls_loss=float(metrics["cls_loss"]),
-                    reg_loss=float(metrics["reg_loss"]), **self.timer.stats(),
+                    reg_loss=float(metrics["reg_loss"]), step_time_s=dt,
                 )
-        mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+
+        losses = np.asarray([float(m["loss"]) for m in pending])
+        skipped = float(np.sum([float(m["skipped"]) for m in pending]))
+        finite = losses[np.isfinite(losses)]
+        epoch_losses = finite.tolist()
+        mean_loss = float(np.mean(finite)) if len(finite) else float("nan")
         return {
             "mean_loss": mean_loss,
             "skipped": skipped,
@@ -144,9 +149,13 @@ class Trainer:
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, lr)
             )
+            skipped = (
+                f" skipped {int(stats['skipped'])}/{stats['num_steps']}"
+                if stats["skipped"] else ""
+            )
             print(
                 f"epoch {self.epoch}/{epochs}: loss {stats['mean_loss']:.5f} "
-                f"lr {lr:.2e} ({stats['epoch_time_s']:.1f}s)",
+                f"lr {lr:.2e} ({stats['epoch_time_s']:.1f}s){skipped}",
                 flush=True,
             )
 

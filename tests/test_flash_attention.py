@@ -47,12 +47,45 @@ def test_flash_vjp_matches_reference_grads():
 
     # the custom_vjp backward recomputes through the reference, so compare the
     # registered bwd directly
-    from frn_tpu.ops.flash_attention import _bwd
+    from frn_tpu.ops.flash_attention import _bwd_scan
 
     # emulate upstream cotangent of sum-of-squares (forward runs interpreted on CPU)
     out = _flash_forward(ph, th, g, block_q=128, block_k=128, interpret=True)
     ct = 2.0 * out
-    got = _bwd((g, th, ph), ct)
+    got = _bwd_scan((g, th, ph), ct)
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(g, th, ph)
     for a, b_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_backward_matches_dense_vjp_interpret():
+    from frn_tpu.ops.flash_attention import _flash_backward
+
+    b, n, d = 1, 200, 32
+    g = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ct = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+
+    o, lse = _flash_forward(ph, th, g, block_q=128, block_k=128,
+                            interpret=True, return_lse=True)
+    dq, dk, dv = _flash_backward(ph, th, g, o, lse, ct,
+                                 block_q=128, block_k=128, interpret=True)
+
+    _, vjp = jax.vjp(_reference_attention, g, th, ph)
+    want_dg, want_dth, want_dph = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dg), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dth), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dph), atol=2e-4, rtol=1e-3)
+
+
+def test_lse_output_matches_dense():
+    b, n, d = 2, 150, 16
+    g = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    _, lse = _flash_forward(ph, th, g, block_q=128, block_k=128,
+                            interpret=True, return_lse=True)
+    scores = jnp.einsum("bqc,bkc->bqk", ph, th)
+    want = jax.scipy.special.logsumexp(scores, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want), atol=2e-5, rtol=1e-5)

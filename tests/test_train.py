@@ -199,3 +199,47 @@ def test_dp_train_step_matches_single_device():
     a = jax.tree_util.tree_leaves(s1.params)[0]
     b = jax.tree_util.tree_leaves(s8.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_loss_threshold_guard_optional():
+    import dataclasses as dc
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, loss_skip_threshold=1e-9))
+    model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    from frn_tpu.train import make_train_step as mts
+
+    step = mts(model, tx, cfg, donate=False)
+    batch = synthetic_batch(np.random.default_rng(0), cfg, 2)
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    # any finite loss exceeds 1e-9 -> skipped, params unchanged
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(state1.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warmup_scales_first_updates():
+    import dataclasses as dc
+
+    cfg = tiny_config()
+    cfg_w = dc.replace(cfg, train=dc.replace(cfg.train, warmup_steps=100))
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, cfg, 2)
+
+    def first_update_norm(c):
+        model, state, tx = create_train_state(c, jax.random.PRNGKey(0))
+        step = make_train_step(model, tx, c, donate=False)
+        s1, _ = step(state, batch, jax.random.PRNGKey(1))
+        return sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.params),
+                jax.tree_util.tree_leaves(s1.params),
+            )
+        )
+
+    base = first_update_norm(cfg)
+    warm = first_update_norm(cfg_w)
+    assert warm < base * 0.05  # first warmup step is ~1/100 of the full step
