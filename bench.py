@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_FPS = 40.0  # assumed reference (batch-1 torch eval loop) throughput
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLIER = 5.0
 
 BATCH = int(os.environ.get("FRN_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("FRN_BENCH_ITERS", "20"))
@@ -81,7 +81,7 @@ def main():
                 "metric": "dsec_fusion_infer_fps_per_chip",
                 "value": round(fps, 2),
                 "unit": "img/s",
-                "vs_baseline": round(fps / (TARGET_MULTIPLier * A100_REFERENCE_FPS), 3),
+                "vs_baseline": round(fps / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 3),
             }
         )
     )
