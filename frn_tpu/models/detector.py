@@ -161,6 +161,7 @@ def decode_detections(
         iou_threshold=ev.nms_iou,
         per_class_topk=ev.per_class_topk,
         max_detections=ev.max_detections,
+        approx_topk=ev.approx_topk,
     )
 
 
