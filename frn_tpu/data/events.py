@@ -25,28 +25,40 @@ class H5EventReader:
 
     Timestamps given to `window` are absolute microseconds (same clock as image
     timestamps); internally offset by t_offset and resolved through ms_to_idx.
+
+    File handles are THREAD-LOCAL: h5py serializes all access through a global
+    lock per File object, so loader worker threads sharing one handle collapse to
+    sequential IO. One handle per (reader, thread) restores parallel reads.
     """
 
     def __init__(self, path: str):
         if h5py is None:
             raise ImportError("h5py is required for event reading")
         self.path = path
-        self._file: Optional["h5py.File"] = None
+        import threading
+
+        self._local = threading.local()
+        self._t_offset: Optional[int] = None
 
     @property
     def file(self):
-        if self._file is None:
-            self._file = h5py.File(self.path, "r")
-        return self._file
+        f = getattr(self._local, "file", None)
+        if f is None:
+            f = h5py.File(self.path, "r")
+            self._local.file = f
+        return f
 
     def close(self):
-        if self._file is not None:
-            self._file.close()
-            self._file = None
+        f = getattr(self._local, "file", None)
+        if f is not None:
+            f.close()
+            self._local.file = None
 
     @property
     def t_offset(self) -> int:
-        return int(self.file["t_offset"][()])
+        if self._t_offset is None:
+            self._t_offset = int(self.file["t_offset"][()])
+        return self._t_offset
 
     def _ms_index(self, t_abs_us: int) -> int:
         ms_to_idx = self.file["ms_to_idx"]
