@@ -173,6 +173,30 @@ def event_representation_np(
     raise ValueError(f"unknown event representation {kind!r}")
 
 
+def voxelize_events_batched(
+    x: jnp.ndarray,  # (B, N) int32 padded event tensors
+    y: jnp.ndarray,
+    t: jnp.ndarray,
+    p: jnp.ndarray,
+    num_valid: jnp.ndarray,  # (B,) int32
+    num_bins: int = 5,
+    height: int = 480,
+    width: int = 640,
+) -> jnp.ndarray:
+    """vmapped device voxelization -> (B, H, W, C) NHWC, ready for the detector.
+
+    This is the fully-on-device ingestion path: the host ships raw padded event
+    tensors (~13 B/event) and the rasterization runs inside the jitted step —
+    the right trade when host cores, not HBM, bound the input pipeline.
+    """
+    voxels = jax.vmap(
+        lambda xi, yi, ti, pi, ni: voxelize_events(
+            xi, yi, ti, pi, ni, num_bins, height, width
+        )
+    )(x, y, t, p, num_valid)
+    return jnp.transpose(voxels, (0, 2, 3, 1))
+
+
 def normalize_event_voxel(voxel: jnp.ndarray, threshold: float = 5.0) -> jnp.ndarray:
     """tanh(v/5) normalization applied only when max|v| > 5 (dsec_data.py:461-462)."""
     big = jnp.max(jnp.abs(voxel)) > threshold

@@ -180,3 +180,29 @@ def test_event_representations():
     assert set(np.unique(binary)) <= {0.0, 1.0}
     assert (counts >= binary).all()
     assert counts.sum() == len(x)  # every event lands in exactly one count cell
+
+
+def test_batched_device_voxelize():
+    from frn_tpu.ops.voxelize import voxelize_events_batched
+
+    b, n_pad = 3, 4000
+    xs, ys, ts, ps, ns, wants = [], [], [], [], [], []
+    for i in range(b):
+        x, y, t, p = _random_events(n=3000 - i * 500, overflow=False)
+        wants.append(voxelize_events_np(x, y, t, p, 5, 48, 64))
+        pad = n_pad - len(x)
+        xs.append(np.pad(x, (0, pad)))
+        ys.append(np.pad(y, (0, pad)))
+        ts.append(np.pad(t, (0, pad)))
+        ps.append(np.pad(p, (0, pad)))
+        ns.append(len(x))
+    out = np.asarray(
+        voxelize_events_batched(
+            jnp.asarray(np.stack(xs), jnp.int32), jnp.asarray(np.stack(ys), jnp.int32),
+            jnp.asarray(np.stack(ts), jnp.int32), jnp.asarray(np.stack(ps), jnp.int32),
+            jnp.asarray(ns, jnp.int32), 5, 48, 64,
+        )
+    )
+    assert out.shape == (b, 48, 64, 5)
+    for i in range(b):
+        np.testing.assert_allclose(out[i], np.transpose(wants[i], (1, 2, 0)), atol=1e-4)

@@ -132,3 +132,36 @@ def test_corruption_deterministic():
     a = corrupt(img, "impulse_noise", 2)
     b = corrupt(img, "impulse_noise", 2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_corruption_sweep_smoke(tmp_path):
+    """End-to-end sweep driver over a tiny fixture with a tiny model."""
+    import dataclasses
+
+    import jax
+
+    from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
+    from frn_tpu.data.csv_dataset import CSVDetectionDataset
+    from frn_tpu.data.synthetic import make_csv_fixture
+    from frn_tpu.eval import corruption_sweep, make_inference_fn
+    from frn_tpu.models.detector import init_detector
+
+    tiny = dataclasses.replace(DSEC, height=48, width=64)
+    fix = make_csv_fixture(str(tmp_path), geometry=tiny, num_images=3, seed=9)
+    ds = CSVDetectionDataset(
+        tiny, fix["annotations_csv"], fix["class_map_csv"],
+        fix["event_dir"], fix["img_dir"],
+    )
+    cfg = FrameworkConfig(
+        geometry=tiny,
+        model=ModelConfig(variant="rgb", depth=18, num_classes=3, feature_size=16),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    infer = make_inference_fn(model, variables, cfg)
+    res = corruption_sweep(
+        ds, infer, cfg, corruptions=["gaussian_noise"], severities=(1, 3),
+        batch_size=2,
+    )
+    assert set(res) == {"gaussian_noise"}
+    assert set(res["gaussian_noise"]) == {1, 3}
+    assert all(len(v) == 3 for v in res["gaussian_noise"].values())
