@@ -82,6 +82,7 @@ def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] 
             learning_rate=getattr(args, "lr", 1e-4),
             epochs=epochs or getattr(args, "epochs", 60),
             warmup_steps=getattr(args, "warmup_steps", 0),
+            plateau_patience=getattr(args, "plateau_patience", 3),
         ),
     )
 

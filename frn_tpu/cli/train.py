@@ -36,6 +36,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear LR warmup steps (recommended when training from scratch)")
+    p.add_argument("--plateau_patience", type=int, default=3,
+                   help="ReduceLROnPlateau patience in epochs (reference default 3)")
     return p
 
 
