@@ -31,8 +31,24 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--eval_corruption", action="store_true")
     p.add_argument("--corruption_group", type=int, default=0, choices=[0, 1, 2])
+    p.add_argument(
+        "--corruption_root", default=None,
+        help="root of pre-generated corruption folders "
+        "(<root>/<type>/severity_<s>/...), the reference's input path "
+        "(test_dsec.py:133); omit to synthesize corruptions on the fly",
+    )
     p.add_argument("--save_detect_folder", default="./eval_results")
     p.add_argument("--load_detection", action="store_true")
+    p.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard eval batches over all devices (reference wraps eval in "
+        "DataParallel, test_dsec.py:103-105); batch_size must divide evenly",
+    )
+    p.add_argument(
+        "--coco_protocol", action="store_true",
+        help="additionally report the full pycocotools-protocol summary "
+        "(AP/AP50/AP75/APs/m/l, AR@1/10/100) per coco_eval.py:6-84",
+    )
     return p
 
 
@@ -55,8 +71,19 @@ def main(argv=None):
 
     from frn_tpu.eval import corruption_sweep, evaluate_dataset, make_inference_fn
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from frn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.shape["data"] != 0:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of the "
+                f"data-axis size {mesh.shape['data']}"
+            )
     infer = make_inference_fn(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, config
+        model, {"params": state.params, "batch_stats": state.batch_stats}, config,
+        mesh=mesh,
     )
 
     os.makedirs(args.save_detect_folder, exist_ok=True)
@@ -66,6 +93,7 @@ def main(argv=None):
             corruption_group=args.corruption_group,
             batch_size=args.batch_size,
             save_root=args.save_detect_folder,
+            corruption_root=args.corruption_root,
             verbose=True,
         )
         for corruption, per_sev in results.items():
@@ -83,6 +111,10 @@ def main(argv=None):
         print(json.dumps({k: round(v, 4) for k, v in res.summary.items()}, indent=2))
         with open(os.path.join(args.save_detect_folder, "evaluation_aps.pkl"), "wb") as f:
             pickle.dump(res.per_class_aps, f)
+        if args.coco_protocol:
+            from frn_tpu.eval.coco_protocol import evaluate_coco
+
+            evaluate_coco(dataset, infer, config, batch_size=args.batch_size)
     return 0
 
 

@@ -11,6 +11,7 @@ from frn_tpu.eval.detections import (
     collect_detections,
     make_inference_fn,
 )
+from frn_tpu.eval.coco_protocol import evaluate_coco, evaluate_coco_protocol
 from frn_tpu.eval.evaluator import CorruptedDataset, EvalResult, corruption_sweep, evaluate_dataset
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "collect_annotations",
     "collect_detections",
     "make_inference_fn",
+    "evaluate_coco",
+    "evaluate_coco_protocol",
     "CorruptedDataset",
     "EvalResult",
     "corruption_sweep",

@@ -19,15 +19,30 @@ from frn_tpu.data.loader import BatchLoader, device_prefetch
 from frn_tpu.models.detector import decode_detections
 
 
-def make_inference_fn(model, variables, config: FrameworkConfig) -> Callable:
+def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> Callable:
     """jit-compiled (rgb, event) -> (scores (B,M), labels (B,M), boxes (B,M,4)).
 
     Variables and the anchor table ride as runtime jit arguments (not HLO
     literals), keeping the serialized program small.
+
+    With `mesh`, inference is data-parallel over the mesh's 'data' axis — the
+    TPU-native replacement for the reference's DataParallel eval wrap
+    (test_dsec.py:103-105): params/anchors replicated, batch sharded, identical
+    per-image numerics (each image's postprocess is independent). The batch size
+    must be a multiple of the data-axis size.
     """
     from frn_tpu.models.detector import image_anchors
+    from frn_tpu.parallel.mesh import batch_sharding, replicate, replicated_sharding
 
-    anchors = jax.device_put(image_anchors(config))
+    if mesh is not None:
+        variables = replicate(variables, mesh)
+        anchors = jax.device_put(
+            image_anchors(config), replicated_sharding(mesh)
+        )
+        bsh = batch_sharding(mesh)
+    else:
+        anchors = jax.device_put(image_anchors(config))
+        bsh = None
 
     @jax.jit
     def _infer(variables, anchors, rgb, event):
@@ -35,6 +50,9 @@ def make_inference_fn(model, variables, config: FrameworkConfig) -> Callable:
         return decode_detections(cls, reg, config, anchors=anchors)
 
     def infer(rgb, event):
+        if bsh is not None:
+            rgb = jax.device_put(rgb, bsh)
+            event = jax.device_put(event, bsh)
         return _infer(variables, anchors, rgb, event)
 
     return infer

@@ -106,6 +106,21 @@ class CorruptedDataset:
         }
 
 
+def corrupted_folder_dataset(dataset, corruption_root: str, corruption: str,
+                             severity: int):
+    """Reference-compatible folder input: the pre-generated corrupted image tree
+    replaces the dataset's RGB root (test_dsec.py:133-139 swaps args.root_img to
+    <corruptions>/<type>/severity_<s>), keeping labels/events untouched."""
+    import copy
+
+    folder = os.path.join(corruption_root, corruption, f"severity_{severity}")
+    if not os.path.isdir(folder):
+        raise FileNotFoundError(f"corruption folder missing: {folder}")
+    ds = copy.copy(dataset)
+    ds.img_dir = folder
+    return ds
+
+
 def corruption_sweep(
     dataset,
     infer_fn: Callable,
@@ -115,9 +130,17 @@ def corruption_sweep(
     severities=SEVERITIES,
     batch_size: int = 8,
     save_root: Optional[str] = None,
+    corruption_root: Optional[str] = None,
     verbose: bool = False,
 ) -> Dict[str, Dict[int, List[float]]]:
     """Run the corruption protocol.
+
+    Corrupted inputs come from `corruption_root` (pre-generated folders, the
+    reference's input path — directly comparable to published robustness tables)
+    when given, else are synthesized on the fly by ops/corruption.py (procedural
+    ImageNet-C re-implementation; severity trends match but absolute mAP is not
+    guaranteed comparable to folders generated with the original `imagecorruptions`
+    package — see PARITY.md).
 
     Returns {corruption: {severity: per-class mean APs}} — per-class AP averaged
     over the 10 IoU thresholds, like the reference's printed summaries
@@ -133,7 +156,12 @@ def corruption_sweep(
     for corruption in corruptions:
         per_sev: Dict[int, List[float]] = {}
         for severity in severities:
-            ds = CorruptedDataset(dataset, corruption, severity)
+            if corruption_root:
+                ds = corrupted_folder_dataset(
+                    dataset, corruption_root, corruption, severity
+                )
+            else:
+                ds = CorruptedDataset(dataset, corruption, severity)
             folder = (
                 os.path.join(save_root, corruption, f"severity_{severity}")
                 if save_root

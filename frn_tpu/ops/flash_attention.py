@@ -103,11 +103,16 @@ def _flash_forward(
     q: jnp.ndarray,  # (B, N, D)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
     return_lse: bool = False,
 ):
+    # Block sizes measured on v5e at the stage-1 shape (tools/bench_flash.py):
+    # (1024,1024) 12.3 ms vs (512,1024) 13.1 vs (512,512) 21.0; 2048 blocks
+    # exceed the 16 MB scoped-VMEM limit. An explicitly software-pipelined
+    # variant (PV deferred one grid step to overlap VPU exp) measured SLOWER
+    # (15.4 ms) — Mosaic already schedules the plain body well.
     b, n, d = q.shape
     assert d <= LANE, f"head dim {d} > {LANE} unsupported"
     n_pad, num_q, num_k = _pad_shapes(n, block_q, block_k)

@@ -97,44 +97,60 @@ class Trainer:
         )
 
     def train_epoch(self) -> Dict[str, float]:
-        epoch_losses = []
-        skipped = 0.0
         t0 = time.perf_counter()
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         it = device_prefetch(iter(self._loader()), size=2, sharding=sharding)
-        pending = []  # device arrays; fetched lazily so steps don't sync the host
+        # device metrics are held only until the next log window, then fetched in
+        # one transfer and released — bounded memory at any epoch length (tens of
+        # thousands of live tiny device arrays would otherwise pile up)
+        pending = []
+        loss_sum, loss_n, skipped, num_steps = 0.0, 0, 0.0, 0
         t_window = time.perf_counter()
+
+        def drain():
+            nonlocal pending, loss_sum, loss_n, skipped, num_steps
+            if not pending:
+                return
+            host = jax.device_get(pending)
+            pending = []
+            for m in host:
+                num_steps += 1
+                skipped += float(m["skipped"])
+                loss = float(m["loss"])
+                if np.isfinite(loss):
+                    loss_sum += loss
+                    loss_n += 1
+
         for i, batch in enumerate(it):
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, metrics = self.step_fn(self.state, batch, step_rng)
             pending.append(metrics)
             if self.log_every and (i + 1) % self.log_every == 0:
-                loss = float(metrics["loss"])  # syncs once per log window
+                last = jax.device_get(pending[-1])
+                drain()  # one host sync per log window
+                loss = float(last["loss"])
                 dt = (time.perf_counter() - t_window) / self.log_every
                 t_window = time.perf_counter()
                 self.loss_window.append(loss)
                 print(
-                    f"epoch {self.epoch} iter {i + 1}: cls {float(metrics['cls_loss']):.5f} "
-                    f"reg {float(metrics['reg_loss']):.5f} "
+                    f"epoch {self.epoch} iter {i + 1}: cls {float(last['cls_loss']):.5f} "
+                    f"reg {float(last['reg_loss']):.5f} "
                     f"running {np.mean(self.loss_window):.5f} ({dt * 1e3:.0f} ms/step)",
                     flush=True,
                 )
                 self.metrics.log(
                     int(self.state.step), epoch=self.epoch,
-                    loss=loss, cls_loss=float(metrics["cls_loss"]),
-                    reg_loss=float(metrics["reg_loss"]), step_time_s=dt,
+                    loss=loss, cls_loss=float(last["cls_loss"]),
+                    reg_loss=float(last["reg_loss"]), step_time_s=dt,
                 )
+        drain()
 
-        losses = np.asarray([float(m["loss"]) for m in pending])
-        skipped = float(np.sum([float(m["skipped"]) for m in pending]))
-        finite = losses[np.isfinite(losses)]
-        epoch_losses = finite.tolist()
-        mean_loss = float(np.mean(finite)) if len(finite) else float("nan")
+        mean_loss = loss_sum / loss_n if loss_n else float("nan")
         return {
             "mean_loss": mean_loss,
             "skipped": skipped,
             "epoch_time_s": time.perf_counter() - t0,
-            "num_steps": len(epoch_losses),
+            "num_steps": num_steps,
         }
 
     def fit(self, epochs: Optional[int] = None) -> list:

@@ -10,8 +10,21 @@ from __future__ import annotations
 import os
 
 
-def enable_compilation_cache(path: str | None = None) -> None:
+def enable_compilation_cache(path: str | None = None, allow_cpu: bool = False) -> None:
+    """Enable the persistent cache for TPU backends.
+
+    CPU is excluded by default: XLA:CPU caches AOT machine code whose target
+    features can mismatch the host (observed here: cached executables built with
+    +prefer-no-scatter abort with SIGILL on reload), so on-CPU runs recompile.
+    """
     import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "unknown"
+    if backend not in ("tpu", "axon") and not allow_cpu:
+        return
 
     path = path or os.environ.get(
         "FRN_CACHE_DIR", os.path.expanduser("~/.cache/frn_tpu_xla")

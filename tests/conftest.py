@@ -14,3 +14,6 @@ import jax  # noqa: E402
 # the axon site hook re-forces JAX_PLATFORMS=axon; override at the config level
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU cache
+# entries embed host machine features and reloading them can SIGILL/abort
+# (frn_tpu/utils/cache.py gates it to TPU backends for the same reason).

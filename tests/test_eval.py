@@ -165,3 +165,45 @@ def test_corruption_sweep_smoke(tmp_path):
     assert set(res) == {"gaussian_noise"}
     assert set(res["gaussian_noise"]) == {1, 3}
     assert all(len(v) == 3 for v in res["gaussian_noise"].values())
+
+
+def test_corruption_folder_mode(tmp_path):
+    """Pre-generated corruption folders as eval input (reference protocol,
+    test_dsec.py:133-139: root_img swapped per (type, severity))."""
+    import dataclasses
+    import shutil
+
+    import jax
+    import pytest
+
+    from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
+    from frn_tpu.data.csv_dataset import CSVDetectionDataset
+    from frn_tpu.data.synthetic import make_csv_fixture
+    from frn_tpu.eval import corruption_sweep, make_inference_fn
+    from frn_tpu.eval.evaluator import corrupted_folder_dataset
+    from frn_tpu.models.detector import init_detector
+
+    tiny = dataclasses.replace(DSEC, height=48, width=64)
+    fix = make_csv_fixture(str(tmp_path / "clean"), geometry=tiny, num_images=2, seed=3)
+    ds = CSVDetectionDataset(
+        tiny, fix["annotations_csv"], fix["class_map_csv"],
+        fix["event_dir"], fix["img_dir"],
+    )
+    # corrupted tree = copy of the image tree under <root>/<type>/severity_<s>
+    corrupt_root = tmp_path / "corruptions"
+    shutil.copytree(fix["img_dir"], corrupt_root / "gaussian_noise" / "severity_2")
+
+    cfg = FrameworkConfig(
+        geometry=tiny,
+        model=ModelConfig(variant="rgb", depth=18, num_classes=3, feature_size=16),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    infer = make_inference_fn(model, variables, cfg)
+    res = corruption_sweep(
+        ds, infer, cfg, corruptions=["gaussian_noise"], severities=(2,),
+        batch_size=2, corruption_root=str(corrupt_root),
+    )
+    assert set(res["gaussian_noise"]) == {2}
+
+    with pytest.raises(FileNotFoundError):
+        corrupted_folder_dataset(ds, str(corrupt_root), "fog", 1)

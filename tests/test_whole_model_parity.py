@@ -1,0 +1,308 @@
+"""Whole-model activation parity vs the LITERAL reference PyTorch model.
+
+Imports /root/reference/retinanet/model.py on CPU torch (stubbing its fvcore and
+torchvision deps — both only matter for init/eval-NMS, neither affects copied
+weights), builds each variant with random init, exports the state_dict through
+convert/torch_import.py, and asserts per-stage activations, final head outputs,
+training losses, and end-to-end eval detections agree within f32 tolerance.
+
+This is the end-to-end complement to the per-primitive torch-parity tests: if any
+layer's semantics diverge from model.py:276-364 / Attention.py:32 / losses.py:47,
+the per-stage max-abs-diff here localizes it.
+"""
+
+import dataclasses
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.reference_impls import ref_nms  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def _install_stubs():
+    """Stub fvcore (init only — weights are copied, so a no-op is exact) and
+    torchvision.ops.nms (loop-literal oracle with torchvision semantics)."""
+    if "fvcore.nn.weight_init" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fvnn = types.ModuleType("fvcore.nn")
+        wi = types.ModuleType("fvcore.nn.weight_init")
+
+        def c2_xavier_fill(module):
+            # torch caffe2 xavier: kaiming_uniform fan_in a=1; exact formula is
+            # irrelevant for parity (the state_dict is exported after init), but
+            # keep a real init so exported weights are non-degenerate.
+            torch.nn.init.kaiming_uniform_(module.weight, a=1)
+            if module.bias is not None:
+                torch.nn.init.constant_(module.bias, 0)
+
+        wi.c2_xavier_fill = c2_xavier_fill
+        fvnn.weight_init = wi
+        fv.nn = fvnn
+        sys.modules["fvcore"] = fv
+        sys.modules["fvcore.nn"] = fvnn
+        sys.modules["fvcore.nn.weight_init"] = wi
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+
+        def nms(boxes, scores, iou_threshold):
+            keep = ref_nms(boxes.detach().numpy(), scores.detach().numpy(), iou_threshold)
+            return torch.from_numpy(keep)
+
+        ops.nms = nms
+        tv.ops = ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = ops
+
+
+@pytest.fixture(scope="module")
+def ref_model_module():
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from retinanet import model as ref_model
+
+    return ref_model
+
+
+_VARIANT_TO_REF = {"fusion": "fpn_fusion", "event": "event", "rgb": "rgb"}
+
+
+def _build_pair(ref_model, variant, dataset_name, height, width, num_classes, seed=0):
+    import jax
+
+    from frn_tpu.config import DDD17, DSEC, FrameworkConfig, ModelConfig
+    from frn_tpu.convert.torch_import import convert_state_dict
+    from frn_tpu.models.detector import init_detector
+
+    torch.manual_seed(seed)
+    ref = ref_model.resnet50(dataset_name, num_classes, _VARIANT_TO_REF[variant])
+    ref = ref.float().eval()
+
+    # spread the head outputs so eval-path scores cross the 0.05 threshold
+    # (the reference inits the cls output to constant p=0.01 everywhere)
+    torch.nn.init.normal_(ref.classificationModel.output.weight, 0, 0.01)
+    torch.nn.init.normal_(ref.classificationModel.output.bias, -3.0, 0.5)
+    torch.nn.init.normal_(ref.regressionModel.output.weight, 0, 0.01)
+    torch.nn.init.normal_(ref.regressionModel.output.bias, 0, 0.2)
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    base = DSEC if dataset_name == "dsec" else DDD17
+    geo = dataclasses.replace(base, height=height, width=width)
+    cfg = FrameworkConfig(
+        geometry=geo,
+        model=ModelConfig(
+            variant=variant, depth=50, num_classes=num_classes,
+            compute_dtype="float32", modality_dropout=0.0,
+        ),
+    )
+    model, template = init_detector(cfg, jax.random.PRNGKey(0))
+    variables = convert_state_dict(sd, template, variant=variant)
+    variables = {k: variables[k] for k in ("params", "batch_stats")}
+    return ref, model, variables, cfg
+
+
+def _rand_inputs(height, width, batch, event_channels=5, seed=1):
+    rng = np.random.default_rng(seed)
+    rgb = rng.normal(0, 1, (batch, height, width, 3)).astype(np.float32)
+    event = rng.normal(0, 1, (batch, height, width, event_channels)).astype(np.float32)
+    return rgb, event
+
+
+def _nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _rel_diff(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12))
+
+
+def _torch_stage_captures(ref, variant, rgb_t, evt_t):
+    """Forward-hook capture of the reference's per-stage activations (NCHW)."""
+    caps = {}
+
+    def hook(name):
+        def fn(_mod, _inp, out):
+            caps[name] = (
+                [o.detach().numpy() for o in out]
+                if isinstance(out, (list, tuple))
+                else out.detach().numpy()
+            )
+        return fn
+
+    handles = []
+    if variant == "fusion":
+        for i in range(4):
+            handles.append(ref.fus[i].register_forward_hook(hook(f"fus{i}")))
+        handles.append(ref.layer4.register_forward_hook(hook("rgb_c5")))
+        handles.append(ref.layer4_event.register_forward_hook(hook("evt_c5")))
+    else:
+        handles.append(ref.layer4.register_forward_hook(hook("c5")))
+    handles.append(ref.fpn.register_forward_hook(hook("fpn")))
+    handles.append(ref.classificationModel.register_forward_hook(hook("cls_level")))
+
+    with torch.no_grad():
+        scores, labels, boxes = ref((rgb_t, evt_t))
+    for h in handles:
+        h.remove()
+    dets = (scores.numpy(), labels.numpy(), boxes.numpy())
+    return caps, dets
+
+
+def _ours_with_intermediates(model, variables, cfg, rgb, event):
+    import jax.numpy as jnp
+
+    want = {"fus_0", "fus_1", "fus_2", "fus_3", "fpn",
+            "rgb_backbone", "event_backbone", "backbone"}
+    (cls, reg), inter = model.apply(
+        variables, jnp.asarray(rgb), jnp.asarray(event), train=False,
+        capture_intermediates=lambda mdl, method: mdl.name in want,
+        mutable=["intermediates"],
+    )
+    caps = {k: v["__call__"][0] for k, v in inter["intermediates"].items()}
+    return np.asarray(cls), np.asarray(reg), caps
+
+
+def _to_nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+TOL = 3e-4  # relative max-abs; f32 CPU, error grows through 50+ layers
+# Final sigmoid probs: the multiplicative fusion stages amplify random-init
+# activations into the saturated/steep sigmoid regions, so prob-space error is
+# larger than feature-space error (measured ~1e-3 max at 64x96).
+TOL_HEAD = 2.5e-3
+
+
+@pytest.mark.parametrize("variant", ["fusion", "event", "rgb"])
+def test_dsec_activation_parity(ref_model_module, variant):
+    ref, model, variables, cfg = _build_pair(
+        ref_model_module, variant, "dsec", 64, 96, num_classes=3
+    )
+    rgb, event = _rand_inputs(64, 96, batch=1)
+    caps_t, dets_t = _torch_stage_captures(ref, variant, _nchw(rgb), _nchw(event))
+    cls, reg, caps_j = _ours_with_intermediates(model, variables, cfg, rgb, event)
+
+    if variant == "fusion":
+        # backbone C5s localize backbone-vs-fusion divergence
+        assert _rel_diff(caps_j["rgb_backbone"][3], _to_nhwc(caps_t["rgb_c5"])) < TOL
+        assert _rel_diff(caps_j["event_backbone"][3], _to_nhwc(caps_t["evt_c5"])) < TOL
+        for i in range(4):
+            ours = caps_j[f"fus_{i}"]
+            assert _rel_diff(ours, _to_nhwc(caps_t[f"fus{i}"])) < TOL, f"fus stage {i}"
+    else:
+        assert _rel_diff(caps_j["backbone"][3], _to_nhwc(caps_t["c5"])) < TOL
+
+    for lvl in range(5):
+        ours = caps_j["fpn"][lvl]
+        assert _rel_diff(ours, _to_nhwc(caps_t["fpn"][lvl])) < TOL, f"P{lvl + 2}"
+
+    # final heads: run the torch heads' concatenated outputs by re-deriving from
+    # the model's eval outputs is lossy (NMS); instead compare our (B,A,K)/(B,A,4)
+    # against a direct torch head pass over the captured FPN features.
+    with torch.no_grad():
+        cls_t = torch.cat(
+            [ref.classificationModel(torch.from_numpy(f)) for f in caps_t["fpn"]], dim=1
+        ).numpy()
+        reg_t = torch.cat(
+            [ref.regressionModel(torch.from_numpy(f)) for f in caps_t["fpn"]], dim=1
+        ).numpy()
+    assert _rel_diff(cls, cls_t) < TOL_HEAD
+    assert _rel_diff(reg, reg_t) < TOL_HEAD
+
+
+def test_dsec_fusion_eval_detections_match(ref_model_module):
+    """End-to-end eval path: decode + clip + per-class NMS vs the reference's
+    eval branch (model.py:326-364) with the torchvision-semantics NMS oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from frn_tpu.models.detector import decode_detections
+
+    ref, model, variables, cfg = _build_pair(
+        ref_model_module, "fusion", "dsec", 64, 96, num_classes=3, seed=3
+    )
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, approx_topk=False)
+    )
+    rgb, event = _rand_inputs(64, 96, batch=1, seed=4)
+    _, (scores_t, labels_t, boxes_t) = _torch_stage_captures(
+        ref, "fusion", _nchw(rgb), _nchw(event)
+    )
+
+    cls, reg = model.apply(variables, jnp.asarray(rgb), jnp.asarray(event), train=False)
+    scores, labels, boxes = jax.tree_util.tree_map(
+        np.asarray, decode_detections(cls, reg, cfg)
+    )
+    valid = scores[0] > 0
+    ours = sorted(
+        zip(labels[0][valid].tolist(), scores[0][valid].tolist(), boxes[0][valid].tolist()),
+        key=lambda t: (t[0], -t[1]),
+    )
+    theirs = sorted(
+        zip(labels_t.tolist(), scores_t.tolist(), boxes_t.tolist()),
+        key=lambda t: (t[0], -t[1]),
+    )
+    assert len(theirs) > 0, "degenerate fixture: reference produced no detections"
+    assert len(ours) == len(theirs)
+    for (lo, so, bo), (lt, st, bt) in zip(ours, theirs):
+        assert lo == lt
+        assert abs(so - st) < 1e-4
+        np.testing.assert_allclose(bo, bt, atol=1e-2)
+
+
+def test_dsec_fusion_training_loss_parity(ref_model_module, monkeypatch):
+    import jax.numpy as jnp
+
+    from frn_tpu.models.detector import detection_loss
+
+    ref, model, variables, cfg = _build_pair(
+        ref_model_module, "fusion", "dsec", 64, 96, num_classes=3
+    )
+    monkeypatch.setattr(ref_model_module.random, "uniform", lambda a, b: 1.0)
+    ref.train()
+    ref.freeze_bn()
+
+    rgb, event = _rand_inputs(64, 96, batch=2, seed=5)
+    annots = np.full((2, 3, 5), -1.0, np.float32)
+    annots[0, 0] = [8, 8, 40, 40, 1]
+    annots[0, 1] = [30, 20, 60, 50, 0]
+    annots[1, 0] = [10, 16, 70, 60, 2]
+
+    with torch.no_grad():
+        cls_t, reg_t = ref((_nchw(rgb), _nchw(event), torch.from_numpy(annots)))
+
+    cls, reg = model.apply(variables, jnp.asarray(rgb), jnp.asarray(event), train=False)
+    cls_l, reg_l = detection_loss(cls, reg, jnp.asarray(annots), cfg)
+    assert abs(float(cls_l) - float(cls_t)) < 5e-4 * max(1.0, abs(float(cls_t)))
+    assert abs(float(reg_l) - float(reg_t)) < 5e-4 * max(1.0, abs(float(reg_t)))
+
+
+@pytest.mark.parametrize("variant", ["fusion", "rgb"])
+def test_ddd17_activation_parity(ref_model_module, variant):
+    """DDD17 geometry (260x346): exercises the fixed-size bilinear FPN upsampling
+    (model.py:52-54) at the real non-divisible resolution."""
+    ref, model, variables, cfg = _build_pair(
+        ref_model_module, variant, "ddd17", 260, 346, num_classes=1
+    )
+    rgb, event = _rand_inputs(260, 346, batch=1, seed=6)
+    caps_t, _ = _torch_stage_captures(ref, variant, _nchw(rgb), _nchw(event))
+    cls, reg, caps_j = _ours_with_intermediates(model, variables, cfg, rgb, event)
+
+    for lvl in range(5):
+        assert _rel_diff(caps_j["fpn"][lvl], _to_nhwc(caps_t["fpn"][lvl])) < TOL, f"P{lvl + 2}"
+    with torch.no_grad():
+        cls_t = torch.cat(
+            [ref.classificationModel(torch.from_numpy(f)) for f in caps_t["fpn"]], dim=1
+        ).numpy()
+    assert _rel_diff(cls, cls_t) < TOL_HEAD
