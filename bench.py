@@ -36,9 +36,14 @@ def main():
     from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
     from frn_tpu.models.detector import FRNDetector, decode_detections, init_detector
 
+    import dataclasses
+
     cfg = FrameworkConfig(
         geometry=DSEC,
         model=ModelConfig(variant="fusion", depth=50, num_classes=3, compute_dtype=DTYPE),
+    )
+    cfg_exact = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, approx_topk=False)
     )
     from frn_tpu.models.detector import image_anchors
 
@@ -49,6 +54,11 @@ def main():
     def infer(variables, anchors, rgb, event):
         cls, reg = model.apply(variables, rgb, event, train=False)
         return decode_detections(cls, reg, cfg, anchors=anchors)
+
+    @jax.jit
+    def infer_exact(variables, anchors, rgb, event):
+        cls, reg = model.apply(variables, rgb, event, train=False)
+        return decode_detections(cls, reg, cfg_exact, anchors=anchors)
 
     geo = cfg.geometry
     rng = np.random.default_rng(0)
@@ -73,8 +83,18 @@ def main():
         out = infer(variables, anchors, rgb, event)
     sync(out)
     elapsed = time.perf_counter() - t0
-
     fps = BATCH * ITERS / elapsed
+
+    # exact NMS candidate pool (jax.lax.top_k instead of approx_max_k): the
+    # record-run mode; mAP delta vs approx measured 0.000 (tests/test_nms_delta.py)
+    out = infer_exact(variables, anchors, rgb, event)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer_exact(variables, anchors, rgb, event)
+    sync(out)
+    fps_exact = BATCH * ITERS / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -82,6 +102,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "img/s",
                 "vs_baseline": round(fps / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 3),
+                "value_exact_topk": round(fps_exact, 2),
+                "batch": BATCH,
             }
         )
     )

@@ -33,6 +33,11 @@ def add_dataset_args(p: argparse.ArgumentParser, train: bool) -> None:
     p.add_argument("--root_img", required=True, help="root dir of RGB images")
     p.add_argument("--root_event", required=True, help="root dir of event files")
     p.add_argument("--event_type", default="voxel", choices=["voxel", "gray"])
+    p.add_argument(
+        "--path_schema", default="event_keyed", choices=["event_keyed", "rgb_keyed"],
+        help="CSV key layout: event-file keyed (dataloader.py) or RGB-path keyed "
+        "(dataloader_rgb.py:113-126)",
+    )
     # geometry overrides (off-benchmark resolutions, fast smoke runs)
     p.add_argument("--image_height", type=int, default=None)
     p.add_argument("--image_width", type=int, default=None)
@@ -97,6 +102,7 @@ def build_csv_dataset(args, split_csv: str):
         event_dir=args.root_event,
         img_dir=args.root_img,
         event_type=args.event_type,
+        path_schema=getattr(args, "path_schema", "event_keyed"),
     )
 
 

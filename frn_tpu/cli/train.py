@@ -38,6 +38,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="linear LR warmup steps (recommended when training from scratch)")
     p.add_argument("--plateau_patience", type=int, default=3,
                    help="ReduceLROnPlateau patience in epochs (reference default 3)")
+    p.add_argument("--augment", action="store_true",
+                   help="random horizontal flip of both modalities + boxes "
+                   "(the reference defines an Augmenter, dataloader.py:498-519, "
+                   "but never wires it into a trainer; off by default to match)")
     return p
 
 
@@ -56,11 +60,21 @@ def main(argv=None):
 
     from frn_tpu.train.trainer import Trainer
 
+    transform = None
+    if args.augment:
+        from frn_tpu.data.transforms import horizontal_flip
+
+        # rng=None -> fresh OS-seeded generator per call: loader transforms run
+        # in threads and a shared numpy Generator is not thread-safe (the
+        # reference Augmenter likewise draws from the global np.random state)
+        transform = horizontal_flip
+
     trainer = Trainer(
         config, dataset,
         checkpoint_dir=args.checkpoint_dir,
         eval_fn=eval_fn,
         eval_every=args.eval_every,
+        transform=transform,
     )
     if args.continue_training:
         if args.checkpoint:

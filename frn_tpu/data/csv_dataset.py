@@ -10,6 +10,11 @@ Re-implements CSVDataset_event / CSVDataset_gray (dataloader.py:26-402):
       ddd17: <img_dir>/<rel path with .npz -> .png>
   * degenerate boxes (w or h < 1 px) are dropped (dataloader.py:150-153)
 
+`path_schema="rgb_keyed"` selects the CSVDataset_event_rgb variant instead
+(dataloader_rgb.py:113-126): annotation rows are keyed by the RGB image's
+relative path under img_dir, and the event file is derived as
+<event_dir>/<first path component>/left/<frame>.npz.
+
 Samples are numpy dicts in NHWC; no framework tensors on the host path.
 """
 
@@ -76,7 +81,11 @@ class CSVDetectionDataset:
         img_dir: str,
         event_type: str = "voxel",  # 'voxel' | 'gray'
         normalize: bool = True,
+        path_schema: str = "event_keyed",  # 'event_keyed' | 'rgb_keyed'
     ):
+        if path_schema not in ("event_keyed", "rgb_keyed"):
+            raise ValueError(f"unknown path_schema {path_schema!r}")
+        self.path_schema = path_schema
         self.geometry = geometry_for(geometry) if isinstance(geometry, str) else geometry
         self.classes = load_class_map(class_map_csv)
         self.labels = {v: k for k, v in self.classes.items()}
@@ -102,6 +111,9 @@ class CSVDetectionDataset:
 
     def rgb_path(self, image_index: int) -> str:
         rel = self.image_names[image_index]
+        if self.path_schema == "rgb_keyed":
+            # CSV rows name the RGB file directly (dataloader_rgb.py:121)
+            return os.path.join(self.img_dir, rel)
         if self.geometry.name == "dsec":
             parts = rel.split("/")
             return os.path.join(
@@ -112,6 +124,13 @@ class CSVDetectionDataset:
 
     def event_path(self, image_index: int) -> str:
         rel = self.image_names[image_index]
+        if self.path_schema == "rgb_keyed":
+            # <event_dir>/<seq>/left/<frame>.npz derived from the RGB path
+            # (dataloader_rgb.py:115-116: file[0] + '/left/' + basename)
+            parts = rel.split("/")
+            return os.path.join(
+                self.event_dir, parts[0], "left", parts[-1].replace(".png", ".npz")
+            )
         if self.event_type == "gray":
             rel = rel.replace(".npz", ".png")
         return os.path.join(self.event_dir, rel)

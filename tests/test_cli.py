@@ -37,7 +37,7 @@ def test_cli_train_test_visualize(fixture, tmp_path, capsys):
     train_main(
         _common_flags(fixture)
         + ["--csv_train", fixture["annotations_csv"], "--epochs", "1",
-           "--batch_size", "2", "--checkpoint_dir", ckpt]
+           "--batch_size", "2", "--checkpoint_dir", ckpt, "--augment"]
     )
     out = capsys.readouterr().out
     assert "epoch 1/1" in out

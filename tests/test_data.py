@@ -155,6 +155,67 @@ def test_csv_dataset_and_loader(tmp_path, geo):
     assert batches[-1]["sample_mask"].sum() == 1
 
 
+def test_csv_dataset_rgb_keyed_schema(tmp_path):
+    """dataloader_rgb.py:113-126 path schema: CSV rows keyed by the RGB path;
+    the event .npz is derived as <event_dir>/<seq>/left/<frame>.npz."""
+    import csv
+
+    geo = TINY_DSEC
+    fix = make_csv_fixture(str(tmp_path), geometry=geo, num_images=4, seed=7)
+    ds_event = CSVDetectionDataset(
+        geo, fix["annotations_csv"], fix["class_map_csv"],
+        fix["event_dir"], fix["img_dir"],
+    )
+
+    # rewrite the annotation CSV keyed by RGB relative paths
+    def to_rgb_key(event_rel):
+        parts = event_rel.split("/")
+        return "/".join(
+            [parts[-3], "images/left/rectified", parts[-1].replace(".npz", ".png")]
+        )
+
+    rgb_csv = str(tmp_path / "labels_rgb_keyed.csv")
+    with open(fix["annotations_csv"], newline="") as f, open(rgb_csv, "w", newline="") as g:
+        w = csv.writer(g)
+        for row in csv.reader(f):
+            if row:
+                w.writerow([to_rgb_key(row[0])] + row[1:])
+
+    ds_rgb = CSVDetectionDataset(
+        geo, rgb_csv, fix["class_map_csv"],
+        fix["event_dir"], fix["img_dir"], path_schema="rgb_keyed",
+    )
+    assert len(ds_rgb) == len(ds_event)
+    for i in range(len(ds_rgb)):
+        a, b = ds_event[i], ds_rgb[i]
+        np.testing.assert_array_equal(a["event"], b["event"])
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+        np.testing.assert_array_equal(a["annot"], b["annot"])
+
+
+def test_horizontal_flip_transform():
+    """Augmenter semantics (dataloader.py:498-519): mirror image columns and remap
+    boxes x1' = W - x2, x2' = W - x1 — applied to BOTH modalities here (the
+    reference flips only 'img' and drops the rgb key; that is a latent bug, not
+    behavior to keep)."""
+    from frn_tpu.data.transforms import horizontal_flip
+
+    rng = np.random.default_rng(0)
+    h, w = 6, 10
+    sample = {
+        "event": rng.normal(size=(h, w, 2)).astype(np.float32),
+        "rgb": rng.normal(size=(h, w, 3)).astype(np.float32),
+        "annot": np.array([[1, 2, 4, 5, 0]], np.float32),
+    }
+    flipped = horizontal_flip(sample, p=1.0, rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(flipped["event"], sample["event"][:, ::-1, :])
+    np.testing.assert_array_equal(flipped["rgb"], sample["rgb"][:, ::-1, :])
+    np.testing.assert_array_equal(flipped["annot"], [[w - 4, 2, w - 1, 5, 0]])
+    # p=0: identity, same object contents
+    same = horizontal_flip(sample, p=0.0, rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(same["rgb"], sample["rgb"])
+
+
 def test_collate_truncates_annots():
     geo = TINY_DSEC
     s = {
