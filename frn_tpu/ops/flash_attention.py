@@ -35,7 +35,7 @@ LANE = 128
 NEG_INF = -1e30
 
 
-def _flash_kernel(n_valid: int, block_k: int, num_k: int,
+def _flash_kernel(block_k: int, num_k: int, k_splits: int,
                   q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
     k_idx = pl.program_id(2)
 
@@ -46,31 +46,48 @@ def _flash_kernel(n_valid: int, block_k: int, num_k: int,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D)
-    v = v_ref[0]  # (BK, D)
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
+    # k_splits > 1 unrolls the k block into sub-blocks inside the body (the
+    # online-softmax recurrence at sub-block granularity, with per-row
+    # corrections applied to the (BQ, D) pv products rather than the (BQ, BK)
+    # p tiles). Measured on v5e at the stage-1 shape: SLOWER (ksplit2 17.8 ms
+    # vs 12.5) — Mosaic does not overlap the VPU exp with the narrower MXU
+    # sub-matmuls. Kept behind the static arg for future hardware; default 1.
+    sub = block_k // k_splits
+    m_prev0 = m_scr[:]  # (BQ, 1) running max BEFORE this grid step
+    m_run = m_prev0
+    l_run = l_scr[:]
+    ps, vs, m_steps = [], [], []
+    for i in range(k_splits):
+        ks = k_ref[0, i * sub:(i + 1) * sub, :]  # (sub, D)
+        vs.append(v_ref[0, i * sub:(i + 1) * sub, :])
+        s = jax.lax.dot_general(
+            q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, sub)
+        # no in-kernel masking: padded key rows carry NEG_INF in the bias lane
+        # (see _flash_forward), so their scores arrive as ~-1e30 from the MXU
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        l_run = jnp.exp(m_run - m_new) * l_run + jnp.sum(p, axis=1, keepdims=True)
+        ps.append(p)
+        m_steps.append(m_new)
+        m_run = m_new
 
-    # mask padded key rows (global key index >= n_valid)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_idx * block_k
-    s = jnp.where(col < n_valid, s, NEG_INF)
-
-    m_prev = m_scr[:]  # (BQ, 1)
-    l_prev = l_scr[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = m_new
-    l_scr[:] = l_new
+    m_final = m_steps[-1]
+    acc = acc_scr[:] * jnp.exp(m_prev0 - m_final)
+    for i in range(k_splits):
+        pv = jax.lax.dot_general(
+            ps[i].astype(vs[i].dtype), vs[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, D)
+        if i < k_splits - 1:
+            pv = pv * jnp.exp(m_steps[i] - m_final)
+        acc = acc + pv
+    acc_scr[:] = acc
+    m_scr[:] = m_final
+    l_scr[:] = l_run
 
     @pl.when(k_idx == num_k - 1)
     def _finalize():
@@ -97,7 +114,8 @@ def _pad_shapes(n: int, block_q: int, block_k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "return_lse")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "k_splits", "interpret", "return_lse"),
 )
 def _flash_forward(
     q: jnp.ndarray,  # (B, N, D)
@@ -105,23 +123,33 @@ def _flash_forward(
     v: jnp.ndarray,
     block_q: int = 1024,
     block_k: int = 1024,
+    k_splits: int = 1,
     interpret: bool = False,
     return_lse: bool = False,
 ):
     # Block sizes measured on v5e at the stage-1 shape (tools/bench_flash.py):
     # (1024,1024) 12.3 ms vs (512,1024) 13.1 vs (512,512) 21.0; 2048 blocks
-    # exceed the 16 MB scoped-VMEM limit. An explicitly software-pipelined
-    # variant (PV deferred one grid step to overlap VPU exp) measured SLOWER
-    # (15.4 ms) — Mosaic already schedules the plain body well.
+    # exceed the 16 MB scoped-VMEM limit. An explicitly cross-grid-step
+    # pipelined variant (PV deferred one step via scratch) measured SLOWER
+    # (15.4 ms); the in-body k_splits unroll replaces it.
     b, n, d = q.shape
-    assert d <= LANE, f"head dim {d} > {LANE} unsupported"
+    assert d < LANE, f"head dim {d} needs a free bias lane (< {LANE})"
+    assert block_k % k_splits == 0
     n_pad, num_q, num_k = _pad_shapes(n, block_q, block_k)
 
     qp = _pad_to(_pad_to(q, LANE, 2), n_pad, 1)
     kp = _pad_to(_pad_to(k, LANE, 2), n_pad, 1)
     vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
+    # padded-key masking via a bias lane instead of an in-kernel iota+where:
+    # every query carries 1.0 in lane d; padded key rows carry NEG_INF there
+    # (real key rows keep 0). The MXU then produces s = -1e30 for padded keys
+    # exactly, at zero per-step VPU cost. Padded QUERY rows need no handling —
+    # their softmax is over real keys (finite) and their output is sliced off.
+    if n_pad > n:
+        qp = qp.at[:, :, d].set(jnp.asarray(1.0, qp.dtype))
+        kp = kp.at[:, n:, d].set(jnp.asarray(NEG_INF, kp.dtype))
 
-    kernel = functools.partial(_flash_kernel, n, block_k, num_k)
+    kernel = functools.partial(_flash_kernel, block_k, num_k, k_splits)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, num_q, num_k),

@@ -119,9 +119,17 @@ def main():
     v = jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.bfloat16)
 
     print(f"stage-1 shape: B={B} N={N} D={D} bf16", flush=True)
-    base = timeit("flash fwd (bq1024, bk1024 default)", lambda: _flash_forward(q, k, v))
+    base = timeit("flash fwd (bq1024, bk1024, ksplit1)",
+                  lambda: _flash_forward(q, k, v, k_splits=1))
+    for ks in (2, 4):
+        timeit(f"flash fwd (bq1024, bk1024, ksplit{ks})",
+               lambda ks=ks: _flash_forward(q, k, v, k_splits=ks))
+    timeit("flash fwd (bq1024, bk2048, ksplit2)",
+           lambda: _flash_forward(q, k, v, block_k=2048, k_splits=2))
+    timeit("flash fwd (bq1024, bk2048, ksplit4)",
+           lambda: _flash_forward(q, k, v, block_k=2048, k_splits=4))
     timeit("flash fwd (bq512, bk1024)",
-           lambda: _flash_forward(q, k, v, block_q=512, block_k=1024))
+           lambda: _flash_forward(q, k, v, block_q=512, block_k=1024, k_splits=1))
     noexp = timeit("flash fwd NOEXP (bq512, bk1024)", lambda: flash_noexp(q, k, v))
     timeit("flash fwd NOEXP (bq1024, bk1024)",
            lambda: flash_noexp(q, k, v, block_q=1024, block_k=1024))
