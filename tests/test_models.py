@@ -231,3 +231,53 @@ def test_detector_loss_and_grads():
     # at least some gradient signal reaches both backbones
     norms = [float(jnp.linalg.norm(g)) for g in flat]
     assert max(norms) > 0
+
+
+def test_packed_heads_match_per_level():
+    """Canvas-packed head evaluation must reproduce the per-level path exactly
+    (separator + mask construction, see models/heads.py docstring)."""
+    from frn_tpu.models.heads import ClassificationHead, RegressionHead, apply_heads
+
+    rng = np.random.default_rng(0)
+    # DSEC-like pyramid at 1/4 scale, 5 levels, non-divisible small shapes
+    shapes = [(30, 40), (15, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.normal(0, 1, (2, h, w, 32)), jnp.float32)
+             for h, w in shapes]
+    cls_head = ClassificationHead(num_classes=3, num_anchors=9, feature_size=32,
+                                  prior=0.01)
+    reg_head = RegressionHead(num_anchors=9, feature_size=32)
+    cv = cls_head.init(jax.random.PRNGKey(0), feats[0])
+    rv = reg_head.init(jax.random.PRNGKey(1), feats[0])
+
+    def run(packed):
+        return apply_heads(
+            lambda f, **kw: cls_head.apply(cv, f, **kw),
+            lambda f, **kw: reg_head.apply(rv, f, **kw),
+            feats, packed=packed,
+        )
+
+    cls_p, reg_p = run(True)
+    cls_u, reg_u = run(False)
+    assert cls_p.shape == cls_u.shape and reg_p.shape == reg_u.shape
+    np.testing.assert_allclose(np.asarray(reg_p), np.asarray(reg_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls_p), np.asarray(cls_u), atol=1e-6)
+
+
+def test_space_to_depth_stem_matches_plain_conv():
+    """The s2d stem rewrite must reproduce nn.Conv's 7x7/s2 output exactly
+    (same params, same contraction; only the lowering differs)."""
+    rng = np.random.default_rng(3)
+    for h, w, cin in ((48, 64, 3), (33, 47, 5)):
+        x = jnp.asarray(rng.normal(0, 1, (2, h, w, cin)), jnp.float32)
+        plain = Conv(16, 7, 2, 3, use_bias=False)
+        s2d = Conv(16, 7, 2, 3, use_bias=False, space_to_depth=True)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        v2 = s2d.init(jax.random.PRNGKey(0), x)
+        # identical param paths and shapes
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        y_plain = plain.apply(v, x)
+        y_s2d = s2d.apply(v, x)
+        assert y_plain.shape == y_s2d.shape
+        np.testing.assert_allclose(
+            np.asarray(y_s2d), np.asarray(y_plain), atol=2e-5, rtol=1e-5
+        )

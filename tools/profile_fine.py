@@ -65,6 +65,8 @@ def main():
     cv = cls_head.init(jax.random.PRNGKey(0), pyr[0])
     rv = reg_head.init(jax.random.PRNGKey(1), pyr[0])
 
+    from frn_tpu.models.heads import apply_heads
+
     @jax.jit
     def heads_all(cv, rv, pyr):
         cls = jnp.concatenate(
@@ -73,7 +75,16 @@ def main():
             [reg_head.apply(rv, p).astype(jnp.float32) for p in pyr], axis=1)
         return cls, reg
 
+    @jax.jit
+    def heads_packed(cv, rv, pyr):
+        return apply_heads(
+            lambda f, **kw: cls_head.apply(cv, f, **kw),
+            lambda f, **kw: reg_head.apply(rv, f, **kw),
+            pyr, packed=True,
+        )
+
     t = timeit("both heads, 5 levels", heads_all, cv, rv, pyr, work_imgs=B)
+    timeit("both heads, 5 levels PACKED", heads_packed, cv, rv, pyr, work_imgs=B)
     # useful FLOPs: per level, 2 heads x (4 towers + 1 out) convs 3x3 256ch
     hw_sum = sum(s[1] * s[2] for s in pyramid_shapes(B))
     tower = 4 * (9 * 256 * 256 * 2)
