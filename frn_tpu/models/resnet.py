@@ -84,10 +84,10 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         block = Bottleneck if self.bottleneck else BasicBlock
-        # stem as a space-to-depth conv: exact rewrite of the 7x7/s2 conv that
-        # XLA:TPU lowers poorly for 3/5-channel inputs (~2 ms -> ~0.1 ms on v5e)
-        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
-                 space_to_depth=True, name="conv1")(x)
+        # NOTE: a space-to-depth rewrite of this stem (layers._SpaceToDepthConv)
+        # measured SLOWER on v5e (3.43 vs 2.44 ms/op slope at b8) — XLA's plain
+        # lowering wins despite the tiny input channel count; keep it plain
+        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)

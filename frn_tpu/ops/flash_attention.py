@@ -36,6 +36,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
+                  q_splits: int,
                   q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr):
     k_idx = pl.program_id(2)
 
@@ -44,7 +45,26 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (BQ, D)
+    if q_splits > 1:
+        # independent q-row groups unrolled in the body: group i's VPU exp has
+        # no dependency on group j's MXU matmuls, giving the scheduler real
+        # interleaving freedom (unlike k_splits, whose sub-blocks are chained
+        # by the online-softmax recurrence)
+        bq = q_ref.shape[1] // q_splits
+        for i in range(q_splits):
+            sl = slice(i * bq, (i + 1) * bq)
+            _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+                           q_ref[0, sl, :], k_ref, v_ref,
+                           o_ref, lse_ref, m_scr, acc_scr, sl)
+        return
+
+    _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+                   q_ref[0], k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
+                   slice(None))
+
+
+def _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+                   q, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, rows):
 
     # There is NO separate softmax-denominator accumulator: real V rows carry
     # 1.0 in free lane `d_ones` (see _flash_forward), so acc lane d_ones
@@ -58,7 +78,7 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
     # vs 12.5) — Mosaic does not overlap the VPU exp with the narrower MXU
     # sub-matmuls. Kept behind the static arg for future hardware; default 1.
     sub = block_k // k_splits
-    m_prev0 = m_scr[:]  # (BQ, 1) running max BEFORE this grid step
+    m_prev0 = m_scr[rows, :]  # (BQ, 1) running max BEFORE this grid step
     m_run = m_prev0
     ps, vs, m_steps = [], [], []
     for i in range(k_splits):
@@ -76,7 +96,7 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
         m_run = m_new
 
     m_final = m_steps[-1]
-    acc = acc_scr[:] * jnp.exp(m_prev0 - m_final)
+    acc = acc_scr[rows, :] * jnp.exp(m_prev0 - m_final)
     for i in range(k_splits):
         pv = jax.lax.dot_general(
             ps[i].astype(vs[i].dtype), vs[i],
@@ -86,16 +106,18 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
         if i < k_splits - 1:
             pv = pv * jnp.exp(m_steps[i] - m_final)
         acc = acc + pv
-    acc_scr[:] = acc
-    m_scr[:] = m_final
+    acc_scr[rows, :] = acc
+    m_scr[rows, :] = m_final
 
     @pl.when(k_idx == num_k - 1)
     def _finalize():
-        l = acc_scr[:, d_ones:d_ones + 1]  # rowsum(p) accumulated in-matmul
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        l = acc[:, d_ones:d_ones + 1]  # rowsum(p) accumulated in-matmul
+        o_ref[0, rows, :] = (acc / l).astype(o_ref.dtype)
         # per-row logsumexp, consumed by the backward kernels (lane-broadcast:
         # Pallas TPU blocks need a 128-divisible trailing dim)
-        lse_ref[0] = jnp.broadcast_to(m_scr[:] + jnp.log(l), lse_ref[0].shape)
+        lse_ref[0, rows, :] = jnp.broadcast_to(
+            m_final + jnp.log(l), lse_ref[0, rows, :].shape
+        )
 
 
 def _pad_to(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
@@ -116,7 +138,9 @@ def _pad_shapes(n: int, block_q: int, block_k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "k_splits", "interpret", "return_lse"),
+    static_argnames=(
+        "block_q", "block_k", "k_splits", "q_splits", "interpret", "return_lse"
+    ),
 )
 def _flash_forward(
     q: jnp.ndarray,  # (B, N, D)
@@ -125,6 +149,7 @@ def _flash_forward(
     block_q: int = 1024,
     block_k: int = 1024,
     k_splits: int = 1,
+    q_splits: int = 1,
     interpret: bool = False,
     return_lse: bool = False,
 ):
@@ -155,7 +180,10 @@ def _flash_forward(
     d_ones = d
     vp = vp.at[:, :n, d_ones].set(jnp.asarray(1.0, vp.dtype))
 
-    kernel = functools.partial(_flash_kernel, block_k, num_k, k_splits, d_ones)
+    assert block_q % q_splits == 0
+    kernel = functools.partial(
+        _flash_kernel, block_k, num_k, k_splits, d_ones, q_splits
+    )
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, num_q, num_k),

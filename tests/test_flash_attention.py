@@ -89,3 +89,18 @@ def test_lse_output_matches_dense():
     scores = jnp.einsum("bqc,bkc->bqk", ph, th)
     want = jax.scipy.special.logsumexp(scores, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k_splits,q_splits", [(2, 1), (1, 2), (2, 2)])
+def test_flash_split_variants_match(k_splits, q_splits):
+    """In-body k/q sub-block unrolls are exact reformulations."""
+    rng = np.random.default_rng(5)
+    g, th, ph = (jnp.asarray(rng.normal(0, 1, (2, 300, 16)), jnp.float32)
+                 for _ in range(3))
+    base = np.asarray(_flash_forward(ph, th, g, block_q=128, block_k=128,
+                                     interpret=True))
+    got = np.asarray(_flash_forward(
+        ph, th, g, block_q=128, block_k=128,
+        k_splits=k_splits, q_splits=q_splits, interpret=True,
+    ))
+    np.testing.assert_allclose(got, base, atol=1e-5, rtol=1e-5)

@@ -121,13 +121,13 @@ def main():
     print(f"stage-1 shape: B={B} N={N} D={D} bf16", flush=True)
     base = timeit("flash fwd (bq1024, bk1024, ksplit1)",
                   lambda: _flash_forward(q, k, v, k_splits=1))
-    for ks in (2, 4):
-        timeit(f"flash fwd (bq1024, bk1024, ksplit{ks})",
-               lambda ks=ks: _flash_forward(q, k, v, k_splits=ks))
-    timeit("flash fwd (bq1024, bk2048, ksplit2)",
-           lambda: _flash_forward(q, k, v, block_k=2048, k_splits=2))
-    timeit("flash fwd (bq1024, bk2048, ksplit4)",
-           lambda: _flash_forward(q, k, v, block_k=2048, k_splits=4))
+    for qs in (2, 4):
+        timeit(f"flash fwd (bq1024, bk1024, qsplit{qs})",
+               lambda qs=qs: _flash_forward(q, k, v, q_splits=qs))
+    timeit("flash fwd (bq2048, bk1024, qsplit2)",
+           lambda: _flash_forward(q, k, v, block_q=2048, q_splits=2))
+    timeit("flash fwd (bq2048, bk1024, qsplit4)",
+           lambda: _flash_forward(q, k, v, block_q=2048, q_splits=4))
     timeit("flash fwd (bq512, bk1024)",
            lambda: _flash_forward(q, k, v, block_q=512, block_k=1024, k_splits=1))
     noexp = timeit("flash fwd NOEXP (bq512, bk1024)", lambda: flash_noexp(q, k, v))
