@@ -51,6 +51,14 @@ def get_parser() -> argparse.ArgumentParser:
         " Record runs default to the exact pool.",
     )
     p.add_argument(
+        "--max_detections", type=int, default=100,
+        help="static per-image detection cap. The reference eval branch is "
+        "UNCAPPED (model.py:326-364 returns every above-threshold post-NMS "
+        "box); a static-shape pipeline needs a bound. 100 matches the COCO "
+        "maxDets convention; raise (<= 3*per_class_topk) to tighten csv_eval-"
+        "protocol parity when images yield >100 detections.",
+    )
+    p.add_argument(
         "--coco_protocol", action="store_true",
         help="additionally report the full pycocotools-protocol summary "
         "(AP/AP50/AP75/APs/m/l, AR@1/10/100) per coco_eval.py:6-84",
@@ -73,7 +81,12 @@ def main(argv=None):
     config = build_config(args, dataset.num_classes(), args.batch_size)
     # record runs use the exact candidate pool unless --approx_topk is given
     config = dataclasses.replace(
-        config, eval=dataclasses.replace(config.eval, approx_topk=args.approx_topk)
+        config,
+        eval=dataclasses.replace(
+            config.eval,
+            approx_topk=args.approx_topk,
+            max_detections=args.max_detections,
+        ),
     )
 
     from frn_tpu.train.loop import create_train_state

@@ -97,10 +97,21 @@ class BatchLoader:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(self.num_threads) as pool:
-                    for b in batches:
+                    # rolling window of per-sample futures: loads for the next
+                    # batches are already submitted while the current batch
+                    # collates, so workers never drain at batch boundaries
+                    # (a pool.map per batch would serialize load->collate)
+                    in_flight: collections.deque = collections.deque()
+                    bi = 0
+                    while bi < len(batches) or in_flight:
+                        while bi < len(batches) and len(in_flight) < 3:
+                            in_flight.append(
+                                [pool.submit(self._load, i) for i in batches[bi]]
+                            )
+                            bi += 1
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self._load, b))
+                        samples = [f.result() for f in in_flight.popleft()]
                         out_q.put(
                             collate_fixed(samples, self.geometry, self.max_annots, self.batch_size)
                         )
