@@ -278,7 +278,9 @@ def _bwd_dkv_kernel(num_q: int, k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _flash_backward(
     q, k, v, o, lse, do,
-    block_q: int = 512,
+    # v5e sweep at the stage-1 shape (tools/bench_train.py): (1024,1024)
+    # 33.1 ms vs (512,1024) 34.3, (1024,512) 34.4, (512,512) 39.7
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
 ):
