@@ -139,7 +139,8 @@ def _pad_shapes(n: int, block_q: int, block_k: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_q", "block_k", "k_splits", "q_splits", "interpret", "return_lse"
+        "block_q", "block_k", "k_splits", "q_splits", "vmem_limit_mb",
+        "interpret", "return_lse",
     ),
 )
 def _flash_forward(
@@ -150,6 +151,7 @@ def _flash_forward(
     block_k: int = 1024,
     k_splits: int = 1,
     q_splits: int = 1,
+    vmem_limit_mb: int = 0,  # >0 raises Mosaic's scoped-VMEM budget (big blocks)
     interpret: bool = False,
     return_lse: bool = False,
 ):
@@ -208,6 +210,11 @@ def _flash_forward(
             # batch and query blocks are independent; the key axis is the online-
             # softmax reduction and must run sequentially
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **(
+                {"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+                if vmem_limit_mb
+                else {}
+            ),
         ),
         interpret=interpret,
     )(qp, kp, vp)
@@ -354,6 +361,19 @@ def _reference_attention(g, theta, phi):
     return jnp.einsum("bqk,bkc->bqc", attn, g, preferred_element_type=jnp.float32).astype(g.dtype)
 
 
+def _pick_fwd_blocks(n: int):
+    """(block_q, block_k, vmem_limit_mb) by sequence length.
+
+    v5e sweep at the stage-1 shape (19,200 tokens): 4096x4096 blocks with a
+    raised 120 MB scoped-VMEM budget (64 MB score tile) run 11.90 ms vs 12.23
+    for 1024x1024 — fewer grid steps, longer MXU streaks. Small-N calls keep
+    1024 blocks: a 4096 block would pad stage-2's 4,800 tokens by 70%.
+    """
+    if n >= 16384:
+        return 4096, 4096, 120
+    return 1024, 1024, 0
+
+
 @jax.custom_vjp
 def flash_nonlocal_attention(g, theta, phi):
     """softmax(phi . theta^T) . g via the Pallas kernel.
@@ -362,7 +382,8 @@ def flash_nonlocal_attention(g, theta, phi):
     the forward) — the dense softmax VJP would materialize the full (HW)^2 matrix
     and OOM at stage-1 resolution.
     """
-    return _flash_forward(phi, theta, g)
+    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
+    return _flash_forward(phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb)
 
 
 def _use_pallas_bwd() -> bool:
@@ -370,10 +391,14 @@ def _use_pallas_bwd() -> bool:
 
 
 def _fwd(g, theta, phi):
+    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
     if _use_pallas_bwd():
-        o, lse = _flash_forward(phi, theta, g, return_lse=True)
+        o, lse = _flash_forward(
+            phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb,
+            return_lse=True,
+        )
         return o, (g, theta, phi, o, lse)
-    o = _flash_forward(phi, theta, g)
+    o = _flash_forward(phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb)
     return o, (g, theta, phi, None, None)
 
 
