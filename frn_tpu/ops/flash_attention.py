@@ -282,13 +282,17 @@ def _bwd_dkv_kernel(num_q: int, k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "vmem_limit_mb", "interpret"),
+)
 def _flash_backward(
     q, k, v, o, lse, do,
     # v5e sweep at the stage-1 shape (tools/bench_train.py): (1024,1024)
     # 33.1 ms vs (512,1024) 34.3, (1024,512) 34.4, (512,512) 39.7
     block_q: int = 1024,
     block_k: int = 1024,
+    vmem_limit_mb: int = 0,
     interpret: bool = False,
 ):
     """Pallas flash-attention backward: returns (dq, dk, dv).
@@ -316,7 +320,12 @@ def _flash_backward(
     row_spec = q_spec
     row_spec_inner = q_spec_inner
     sem = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "arbitrary")
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        **(
+            {"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+            if vmem_limit_mb
+            else {}
+        ),
     )
 
     dq = pl.pallas_call(
