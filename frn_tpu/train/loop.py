@@ -20,7 +20,7 @@ GradScaler, train_dsec_det_fast.py:240-269) because bf16 has f32's exponent rang
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,22 +39,98 @@ class TrainState:
     step: jnp.ndarray  # int32 scalar
 
 
+def torch_clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics: scale by
+    min(1, max_norm / (global_norm + 1e-6)) — the 1e-6 denominator epsilon is
+    torch's, and matters for trajectory-level parity because the clip is active
+    on every early-training step (detection losses at init give grad norms far
+    above 0.1)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+class ReferenceAccumState(NamedTuple):
+    mini_step: jnp.ndarray  # int32, micro-batches since the last optimizer step
+    acc_grads: Any  # running clipped gradient sum
+    inner_state: Any
+
+
+def reference_grad_accumulation(
+    inner: optax.GradientTransformation, every_k: int, clip_norm: float
+) -> optax.GradientTransformation:
+    """Gradient accumulation with the reference trainer's EXACT semantics.
+
+    The reference (train_dsec.py:155-163) calls loss.backward() every
+    micro-batch — which SUMS gradients into .grad — then clip_grad_norm_(0.1)
+    on the RUNNING SUM, and optimizer.step() every `every_k` micro-batches. The
+    effective gradient is therefore clip(clip(g1) + g2), not
+    clip(mean(g1, g2)): whenever any micro-gradient's norm exceeds clip_norm
+    (always, early in training) the two measurably diverge, with the later
+    micro-batches dominating the clipped direction. optax.MultiSteps averages
+    and would clip once at the boundary, so it cannot express this recipe.
+
+    Skipped-batch semantics note (deliberate difference, see
+    tests/test_whole_model_parity.py trajectory test): the reference's
+    try/except `continue` (train_dsec.py:178-180) does NOT advance its
+    num_batches counter on a failed step, while the branchless safe-step guard
+    feeds zero gradients and DOES advance mini_step — a zero-grad micro-batch
+    still counts toward the accumulation boundary here.
+    """
+    clip = torch_clip_by_global_norm(clip_norm)
+
+    def init(params):
+        return ReferenceAccumState(
+            mini_step=jnp.zeros((), jnp.int32),
+            acc_grads=jax.tree_util.tree_map(jnp.zeros_like, params),
+            inner_state=inner.init(params),
+        )
+
+    def update(grads, state, params=None):
+        acc = jax.tree_util.tree_map(jnp.add, state.acc_grads, grads)
+        acc, _ = clip.update(acc, optax.EmptyState())
+        boundary = (state.mini_step + 1) % every_k == 0
+        inner_updates, new_inner = inner.update(acc, state.inner_state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(boundary, u, jnp.zeros_like(u)), inner_updates
+        )
+        new_inner = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(boundary, n, o), new_inner, state.inner_state
+        )
+        new_acc = jax.tree_util.tree_map(
+            lambda a: jnp.where(boundary, jnp.zeros_like(a), a), acc
+        )
+        return updates, ReferenceAccumState(state.mini_step + 1, new_acc, new_inner)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config: FrameworkConfig) -> optax.GradientTransformation:
     tc = config.train
-    parts = [
-        optax.clip_by_global_norm(tc.grad_clip_norm),
+    inner_parts = [
         optax.inject_hyperparams(optax.adam)(learning_rate=tc.learning_rate),
     ]
     if tc.warmup_steps > 0:
         # linear warmup multiplier on top of the (plateau-scheduled) base lr
         warmup = tc.warmup_steps
-        parts.append(
+        inner_parts.append(
             optax.scale_by_schedule(lambda count: jnp.minimum(1.0, (count + 1) / warmup))
         )
-    inner = optax.chain(*parts)
+    inner = optax.chain(*inner_parts)
     if tc.accum_steps > 1:
-        return optax.MultiSteps(inner, every_k_schedule=tc.accum_steps)
-    return inner
+        # clip is applied to the running micro-gradient sum INSIDE the
+        # accumulator (reference semantics, see reference_grad_accumulation)
+        return reference_grad_accumulation(inner, tc.accum_steps, tc.grad_clip_norm)
+    return optax.chain(torch_clip_by_global_norm(tc.grad_clip_norm), inner)
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -243,3 +243,90 @@ def test_warmup_scales_first_updates():
     base = first_update_norm(cfg)
     warm = first_update_norm(cfg_w)
     assert warm < base * 0.05  # first warmup step is ~1/100 of the full step
+
+
+def test_reference_accumulation_matches_torch_microloop():
+    """EXACT (drift-free) parity of the accumulation+clip+Adam semantics vs a
+    literal torch micro-loop. The whole-model trajectory test
+    (test_whole_model_parity.py) proves end-to-end wiring but compounds f32
+    drift through 50+ layers; here the gradients are fixed vectors, so any
+    divergence is semantic: Adam eps placement/bias correction, torch's 1e-6
+    clip denominator, the clip-of-running-SUM ordering (clip(clip(g1)+g2), not
+    clip(mean)), or the step boundary."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from frn_tpu.train.loop import reference_grad_accumulation
+
+    rng = np.random.default_rng(42)
+    n = 37
+    w0 = rng.normal(0, 1, n).astype(np.float32)
+    # gradient norms straddle the 0.1 clip threshold so both clip branches run
+    grads = [
+        (rng.normal(0, 1, n) * scale).astype(np.float32)
+        for scale in (1.0, 0.5, 0.004, 2.0, 0.003, 0.002, 1.5, 0.8, 3.0, 0.001)
+    ]
+
+    # --- torch: backward-accumulated grads, clip_grad_norm_ each micro-batch,
+    # step every 2 (train_dsec.py:155-163)
+    w_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([w_t], lr=1e-4)
+    num_batches = 0
+    for g in grads:
+        loss = (w_t * torch.from_numpy(g)).sum()  # d loss / d w == g
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([w_t], 0.1)
+        num_batches += 1
+        if num_batches == 2:
+            opt.step()
+            opt.zero_grad()
+            num_batches = 0
+
+    # --- ours
+    inner = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    tx = reference_grad_accumulation(inner, every_k=2, clip_norm=0.1)
+    w_j = jnp.asarray(w0)
+    state = tx.init(w_j)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, w_j)
+        w_j = optax.apply_updates(w_j, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(w_j), w_t.detach().numpy(), rtol=0, atol=2e-7
+    )
+
+
+def test_reference_accumulation_diverges_from_multisteps_semantics():
+    """Teeth check: optax.MultiSteps(chain(clip, adam)) — clip(mean(g)) at the
+    boundary — produces a measurably different trajectory whenever a
+    micro-gradient norm exceeds the clip threshold, which is why
+    make_optimizer does NOT use it (train/loop.py)."""
+    import optax
+
+    from frn_tpu.train.loop import reference_grad_accumulation
+
+    rng = np.random.default_rng(7)
+    n = 16
+    w0 = rng.normal(0, 1, n).astype(np.float32)
+    grads = [rng.normal(0, 1, n).astype(np.float32) for _ in range(4)]
+
+    inner = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    tx_ref = reference_grad_accumulation(inner, every_k=2, clip_norm=0.1)
+    tx_ms = optax.MultiSteps(
+        optax.chain(
+            optax.clip_by_global_norm(0.1),
+            optax.inject_hyperparams(optax.adam)(learning_rate=1e-4),
+        ),
+        every_k_schedule=2,
+    )
+
+    def run(tx):
+        w = jnp.asarray(w0)
+        s = tx.init(w)
+        for g in grads:
+            u, s = tx.update(jnp.asarray(g), s, w)
+            w = optax.apply_updates(w, u)
+        return np.asarray(w)
+
+    diff = np.abs(run(tx_ref) - run(tx_ms)).max()
+    assert diff > 1e-6, f"expected semantic divergence, got {diff}"
