@@ -35,7 +35,16 @@ def nonlocal_attention(
     """softmax(phi . theta^T) . g -> (B, HW, C8). No 1/sqrt(d) scaling (matches ref)."""
     b, hw, c8 = g.shape
 
-    if hw >= FLASH_MIN_TOKENS and not os.environ.get("FRN_DISABLE_FLASH"):
+    # The Pallas kernel reserves one of the 128 lanes for the key-padding bias
+    # (flash_attention.py asserts d < 128), so a head dim >= 128 — reachable via
+    # --image_height 1024 --image_width 1280 custom geometries, where stage-3 has
+    # C/8 = 128 — must take the chunked route instead of tripping the assert
+    # inside jit tracing.
+    if (
+        hw >= FLASH_MIN_TOKENS
+        and c8 < 128
+        and not os.environ.get("FRN_DISABLE_FLASH")
+    ):
         from frn_tpu.ops.flash_attention import (
             flash_attention_available,
             flash_nonlocal_attention,
