@@ -59,6 +59,37 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: floa
     return keep
 
 
+def exact_topk_two_stage(
+    s: jnp.ndarray, k: int, num_blocks: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Provably-exact top-k over a long vector via per-block top-k.
+
+    Any element of the global top-k is by definition within the top-k of its own
+    block, so top-k over each of `num_blocks` contiguous blocks followed by a
+    top-k of the num_blocks*k block winners returns exactly the global top-k —
+    while sorting only O(A log(A/nb) + nb*k log(nb*k)) elements instead of the
+    full 230k-anchor sort that makes exact candidate pools 27% slower than
+    approx_max_k.
+
+    Tie semantics match jax.lax.top_k (ascending original index among equal
+    values): blocks are contiguous index ranges emitted block-major, and within
+    a block lax.top_k already orders ties by ascending index, so the stage-2
+    top-k sees equal values in global ascending-index order and its own stable
+    tie-break preserves it.
+    """
+    a = s.shape[0]
+    if num_blocks <= 1 or num_blocks * k >= a:
+        return jax.lax.top_k(s, k)
+    block_len = -(-a // num_blocks)
+    pad = num_blocks * block_len - a
+    sp = jnp.pad(s, (0, pad), constant_values=-jnp.inf)
+    vals, idx = jax.lax.top_k(sp.reshape(num_blocks, block_len), k)  # (nb, k)
+    base = jnp.arange(num_blocks, dtype=idx.dtype)[:, None] * block_len
+    flat_idx = (idx + base).reshape(-1)
+    top_vals, pos = jax.lax.top_k(vals.reshape(-1), k)
+    return top_vals, flat_idx[pos]
+
+
 def class_aware_nms(
     boxes: jnp.ndarray,  # (A, 4) decoded+clipped boxes (shared across classes)
     scores: jnp.ndarray,  # (A, K) per-class sigmoid scores
@@ -87,7 +118,7 @@ def class_aware_nms(
         if approx_topk:
             vals, idx = jax.lax.approx_max_k(s, t, recall_target=0.99)
         else:
-            vals, idx = jax.lax.top_k(s, t)  # descending
+            vals, idx = exact_topk_two_stage(s, t)  # descending, == lax.top_k
         b = boxes[idx]
         keep = greedy_nms_mask(b, vals, iou_threshold)
         return jnp.where(keep, vals, 0.0), b

@@ -201,3 +201,43 @@ def test_batched_postprocess_shapes():
     scores = jnp.asarray(rng.uniform(0, 1, (2, 50, 3)).astype(np.float32))
     s, l, b = batched_detection_postprocess(boxes, scores, per_class_topk=32, max_detections=20)
     assert s.shape == (2, 20) and l.shape == (2, 20) and b.shape == (2, 20, 4)
+
+
+def test_exact_topk_two_stage_matches_lax_topk():
+    """The blocked exact top-k must be value- AND tie-order-identical to
+    jax.lax.top_k (VERDICT r2 item 2): any global top-k element is in its
+    block's top-k, and block-major emission preserves ascending-index ties."""
+    from frn_tpu.core.nms import exact_topk_two_stage
+
+    rng = np.random.default_rng(11)
+    cases = []
+    # random scores, anchor-scale length not divisible by the block count
+    cases.append(rng.uniform(0, 1, 230220).astype(np.float32))
+    # adversarial ties: few distinct values, duplicates spread across blocks
+    cases.append(rng.choice([0.0, 0.1, 0.5, 0.5, 0.9], size=50001).astype(np.float32))
+    # sparse: mostly threshold-masked zeros (the real NMS input shape)
+    sparse = np.zeros(230220, np.float32)
+    hot = rng.choice(230220, 250, replace=False)
+    sparse[hot] = rng.uniform(0.05, 1.0, 250)
+    cases.append(sparse)
+    # fewer elements than num_blocks * k -> must fall back to plain top_k
+    cases.append(rng.uniform(0, 1, 500).astype(np.float32))
+
+    for s in cases:
+        for k in (400, 100):
+            want_v, want_i = jax.lax.top_k(jnp.asarray(s), k)
+            got_v, got_i = exact_topk_two_stage(jnp.asarray(s), k)
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_exact_topk_two_stage_block_counts():
+    from frn_tpu.core.nms import exact_topk_two_stage
+
+    rng = np.random.default_rng(12)
+    s = jnp.asarray(rng.uniform(0, 1, 68490).astype(np.float32))  # DDD17 anchors
+    want_v, want_i = jax.lax.top_k(s, 400)
+    for nb in (2, 16, 64, 128):
+        got_v, got_i = exact_topk_two_stage(s, 400, num_blocks=nb)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
