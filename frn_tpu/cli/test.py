@@ -40,9 +40,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_detect_folder", default="./eval_results")
     p.add_argument("--load_detection", action="store_true")
     p.add_argument(
-        "--data_parallel", action="store_true",
+        "--data_parallel", "--mesh_eval", action="store_true",
         help="shard eval batches over all devices (reference wraps eval in "
         "DataParallel, test_dsec.py:103-105); batch_size must divide evenly",
+    )
+    p.add_argument(
+        "--pr_curve_path", default=None,
+        help="write per-class {label}_precision_recall.jpg PR curves at IoU 0.5 "
+        "to this folder (csv_eval.py:418-429 save_path behavior)",
     )
     p.add_argument(
         "--approx_topk", action="store_true",
@@ -64,6 +69,21 @@ def get_parser() -> argparse.ArgumentParser:
         "(AP/AP50/AP75/APs/m/l, AR@1/10/100) per coco_eval.py:6-84",
     )
     return p
+
+
+def write_corruption_artifacts(results, class_names, folder) -> None:
+    """Reference artifact layout: one {corruption}_ap.txt pickle per corruption,
+    keyed by class name -> per-severity AP list (test_dsec.py:176-178), plus the
+    combined corruption_aps.pkl."""
+    for corruption, per_sev in results.items():
+        per_class = {
+            name: [per_sev[s][label] for s in sorted(per_sev)]
+            for label, name in enumerate(class_names)
+        }
+        with open(os.path.join(folder, f"{corruption}_ap.txt"), "wb") as f:
+            pickle.dump(per_class, f)
+    with open(os.path.join(folder, "corruption_aps.pkl"), "wb") as f:
+        pickle.dump(results, f)
 
 
 def main(argv=None):
@@ -121,11 +141,11 @@ def main(argv=None):
             corruption_root=args.corruption_root,
             verbose=True,
         )
+        class_names = [dataset.label_to_name(i) for i in range(dataset.num_classes())]
         for corruption, per_sev in results.items():
             means = {s: round(float(np.mean(v)), 4) for s, v in per_sev.items()}
             print(f"{corruption}: {means}")
-        with open(os.path.join(args.save_detect_folder, "corruption_aps.pkl"), "wb") as f:
-            pickle.dump(results, f)
+        write_corruption_artifacts(results, class_names, args.save_detect_folder)
     else:
         res = evaluate_dataset(
             dataset, infer, config, batch_size=args.batch_size,
@@ -136,6 +156,15 @@ def main(argv=None):
         print(json.dumps({k: round(v, 4) for k, v in res.summary.items()}, indent=2))
         with open(os.path.join(args.save_detect_folder, "evaluation_aps.pkl"), "wb") as f:
             pickle.dump(res.per_class_aps, f)
+        if args.pr_curve_path:
+            from frn_tpu.eval.ap import load_detections, plot_pr_curves
+
+            dets, annots = load_detections(args.save_detect_folder)
+            paths = plot_pr_curves(
+                dets, annots, dataset.num_classes(), args.pr_curve_path,
+                dataset.label_to_name,
+            )
+            print("PR curves:", ", ".join(paths))
         if args.coco_protocol:
             from frn_tpu.eval.coco_protocol import evaluate_coco
 

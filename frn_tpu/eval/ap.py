@@ -50,6 +50,66 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def _match_detections(
+    all_detections, all_annotations, label: int, iou_thresholds: Sequence[float]
+):
+    """Greedy TP/FP matching for one class (csv_eval.py:240-258 rules).
+
+    Returns (scores, fps, tps, num_annotations) where fps/tps are per-threshold
+    0/1 lists aligned with scores (stored detection order, per image).
+    """
+    num_images = len(all_detections)
+    num_t = len(iou_thresholds)
+    fps = [[] for _ in range(num_t)]
+    tps = [[] for _ in range(num_t)]
+    scores: List[float] = []
+    num_annotations = 0.0
+
+    for i in range(num_images):
+        detections = all_detections[i][label]
+        annotations = all_annotations[i][label]
+        num_annotations += annotations.shape[0]
+        detected = [set() for _ in range(num_t)]
+
+        for d in detections:
+            scores.append(d[4])
+            if annotations.shape[0] == 0:
+                for k in range(num_t):
+                    fps[k].append(1)
+                    tps[k].append(0)
+                continue
+            overlaps = compute_overlap(np.expand_dims(d, 0), annotations)
+            assigned = int(np.argmax(overlaps, axis=1)[0])
+            max_overlap = overlaps[0, assigned]
+            for k, tau in enumerate(iou_thresholds):
+                if max_overlap >= tau and assigned not in detected[k]:
+                    fps[k].append(0)
+                    tps[k].append(1)
+                    detected[k].add(assigned)
+                else:
+                    fps[k].append(1)
+                    tps[k].append(0)
+
+    return scores, fps, tps, num_annotations
+
+
+def precision_recall_curve(
+    all_detections, all_annotations, label: int, iou_threshold: float = 0.5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dataset-wide PR curve for one class at one IoU threshold."""
+    scores, fps, tps, num_annotations = _match_detections(
+        all_detections, all_annotations, label, [iou_threshold]
+    )
+    if num_annotations == 0 or not scores:
+        return np.zeros(0), np.zeros(0)
+    order = np.argsort(-np.asarray(scores))
+    fp = np.cumsum(np.asarray(fps[0], dtype=np.float64)[order])
+    tp = np.cumsum(np.asarray(tps[0], dtype=np.float64)[order])
+    recall = tp / num_annotations
+    precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    return recall, precision
+
+
 def average_precisions(
     all_detections: List[List[np.ndarray]],
     all_annotations: List[List[np.ndarray]],
@@ -57,40 +117,13 @@ def average_precisions(
     iou_thresholds: Sequence[float],
 ) -> Dict[int, List[float]]:
     """Per-class AP at each IoU threshold. Core of both reference evaluators."""
-    num_images = len(all_detections)
     out: Dict[int, List[float]] = {}
 
     for label in range(num_classes):
         num_t = len(iou_thresholds)
-        fps = [[] for _ in range(num_t)]
-        tps = [[] for _ in range(num_t)]
-        scores: List[float] = []
-        num_annotations = 0.0
-
-        for i in range(num_images):
-            detections = all_detections[i][label]
-            annotations = all_annotations[i][label]
-            num_annotations += annotations.shape[0]
-            detected = [set() for _ in range(num_t)]
-
-            for d in detections:
-                scores.append(d[4])
-                if annotations.shape[0] == 0:
-                    for k in range(num_t):
-                        fps[k].append(1)
-                        tps[k].append(0)
-                    continue
-                overlaps = compute_overlap(np.expand_dims(d, 0), annotations)
-                assigned = int(np.argmax(overlaps, axis=1)[0])
-                max_overlap = overlaps[0, assigned]
-                for k, tau in enumerate(iou_thresholds):
-                    if max_overlap >= tau and assigned not in detected[k]:
-                        fps[k].append(0)
-                        tps[k].append(1)
-                        detected[k].add(assigned)
-                    else:
-                        fps[k].append(1)
-                        tps[k].append(0)
+        scores, fps, tps, num_annotations = _match_detections(
+            all_detections, all_annotations, label, iou_thresholds
+        )
 
         if num_annotations == 0:
             out[label] = [0.0] * num_t
@@ -107,6 +140,40 @@ def average_precisions(
         out[label] = aps
 
     return out
+
+
+def plot_pr_curves(
+    all_detections,
+    all_annotations,
+    num_classes: int,
+    save_path: str,
+    label_to_name=None,
+    iou_threshold: float = 0.5,
+) -> List[str]:
+    """Write per-class precision-recall jpgs, reference naming
+    `{label_name}_precision_recall.jpg` (csv_eval.py:418-429). Returns paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_path, exist_ok=True)
+    paths = []
+    for label in range(num_classes):
+        recall, precision = precision_recall_curve(
+            all_detections, all_annotations, label, iou_threshold
+        )
+        name = label_to_name(label) if label_to_name else str(label)
+        fig, ax = plt.subplots()
+        ax.plot(recall, precision)
+        ax.set_xlabel("Recall")
+        ax.set_ylabel("Precision")
+        ax.set_title("Precision Recall curve")
+        out = os.path.join(save_path, f"{name}_precision_recall.jpg")
+        fig.savefig(out)
+        plt.close(fig)
+        paths.append(out)
+    return paths
 
 
 def evaluate_voc(

@@ -49,11 +49,15 @@ def test_cli_train_test_visualize(fixture, tmp_path, capsys):
         _common_flags(fixture)
         + ["--csv_test", fixture["annotations_csv"], "--checkpoint", ckpt,
            "--batch_size", "2",
-           "--save_detect_folder", str(tmp_path / "eval")]
+           "--save_detect_folder", str(tmp_path / "eval"),
+           "--pr_curve_path", str(tmp_path / "pr")]
     )
     out = capsys.readouterr().out
     assert '"mAP"' in out and "fps" in out
     assert os.path.exists(tmp_path / "eval" / "detections.txt")
+    # per-class PR jpgs with the reference's names (csv_eval.py:418-429)
+    prs = sorted(os.listdir(tmp_path / "pr"))
+    assert prs and all(p.endswith("_precision_recall.jpg") for p in prs)
 
     from frn_tpu.cli.visualize import main as viz_main
 
@@ -64,6 +68,28 @@ def test_cli_train_test_visualize(fixture, tmp_path, capsys):
            "--score_threshold", "0.0"]
     )
     assert os.path.exists(tmp_path / "viz" / "000000.png")
+
+
+def test_corruption_artifact_layout(tmp_path):
+    """The corruption sweep must emit the reference's per-corruption artifacts:
+    {corruption}_ap.txt pickles keyed by class name -> per-severity AP list
+    (test_dsec.py:176-178), alongside the combined corruption_aps.pkl."""
+    import pickle
+
+    from frn_tpu.cli.test import write_corruption_artifacts
+
+    results = {
+        "gaussian_noise": {1: [0.5, 0.4], 3: [0.3, 0.2]},
+        "fog": {1: [0.6, 0.1], 3: [0.55, 0.05]},
+    }
+    write_corruption_artifacts(results, ["car", "person"], str(tmp_path))
+    for corruption in results:
+        with open(tmp_path / f"{corruption}_ap.txt", "rb") as f:
+            per_class = pickle.load(f)
+        assert per_class["car"] == [results[corruption][1][0], results[corruption][3][0]]
+        assert per_class["person"] == [results[corruption][1][1], results[corruption][3][1]]
+    with open(tmp_path / "corruption_aps.pkl", "rb") as f:
+        assert pickle.load(f) == results
 
 
 def test_cli_gray_event_type(fixture, tmp_path):

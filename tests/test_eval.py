@@ -106,6 +106,54 @@ def test_overlap_matches_core():
     np.testing.assert_allclose(compute_overlap(a, b), ref_iou(a, b), rtol=1e-6)
 
 
+def test_precision_recall_curve_values():
+    """Hand-computed curve: 1 TP (score .9), 1 FP (.8), 1 TP (.7), 1 miss.
+    Cumulative precision/recall in score order must match csv_eval.py:240-258
+    matching (greedy, per-image argmax, no annotation reuse)."""
+    from frn_tpu.eval.ap import precision_recall_curve
+
+    ann = np.array([[10, 10, 30, 30], [50, 50, 80, 80], [200, 200, 240, 240]],
+                   np.float64)
+    det = np.array(
+        [
+            [10, 10, 30, 30, 0.9],     # TP
+            [300, 300, 320, 320, 0.8], # FP (no overlap)
+            [50, 50, 80, 80, 0.7],     # TP
+        ]
+    )
+    recall, precision = precision_recall_curve([[det]], [[ann]], 0)
+    np.testing.assert_allclose(recall, [1 / 3, 1 / 3, 2 / 3])
+    np.testing.assert_allclose(precision, [1.0, 0.5, 2 / 3])
+
+
+def test_precision_recall_curve_empty():
+    from frn_tpu.eval.ap import precision_recall_curve
+
+    r, p = precision_recall_curve([[np.zeros((0, 5))]], [[np.zeros((0, 4))]], 0)
+    assert r.size == 0 and p.size == 0
+
+
+def test_plot_pr_curves_writes_reference_named_jpgs(tmp_path):
+    """csv_eval.py:418-429 artifact surface: one {label_name}_precision_recall.jpg
+    per class on save_path."""
+    pytest.importorskip("matplotlib")
+    from frn_tpu.eval.ap import plot_pr_curves
+
+    b = _boxes(3)
+    det = np.concatenate([b, RNG.uniform(0.5, 1.0, (3, 1))], axis=1)
+    paths = plot_pr_curves(
+        [[det, np.zeros((0, 5))]], [[b, np.zeros((0, 4))]], 2, str(tmp_path),
+        label_to_name=lambda i: f"cls{i}",
+    )
+    import os
+
+    assert [os.path.basename(p) for p in paths] == [
+        "cls0_precision_recall.jpg", "cls1_precision_recall.jpg",
+    ]
+    for p in paths:
+        assert os.path.getsize(p) > 0
+
+
 # ---------------------------------------------------------------- corruption
 
 
