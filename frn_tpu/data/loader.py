@@ -92,6 +92,17 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # never block forever on a full queue: an abandoned consumer sets
+            # stop, and a plain out_q.put would leak this thread + its futures
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -103,22 +114,28 @@ class BatchLoader:
                     # (a pool.map per batch would serialize load->collate)
                     in_flight: collections.deque = collections.deque()
                     bi = 0
-                    while bi < len(batches) or in_flight:
-                        while bi < len(batches) and len(in_flight) < 3:
-                            in_flight.append(
-                                [pool.submit(self._load, i) for i in batches[bi]]
-                            )
-                            bi += 1
-                        if stop.is_set():
-                            return
-                        samples = [f.result() for f in in_flight.popleft()]
-                        out_q.put(
-                            collate_fixed(samples, self.geometry, self.max_annots, self.batch_size)
-                        )
+                    try:
+                        while bi < len(batches) or in_flight:
+                            while bi < len(batches) and len(in_flight) < 3:
+                                in_flight.append(
+                                    [pool.submit(self._load, i) for i in batches[bi]]
+                                )
+                                bi += 1
+                            if stop.is_set():
+                                return
+                            samples = [f.result() for f in in_flight.popleft()]
+                            if not put_checking_stop(
+                                collate_fixed(samples, self.geometry, self.max_annots, self.batch_size)
+                            ):
+                                return
+                    finally:
+                        for fs in in_flight:
+                            for f in fs:
+                                f.cancel()
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_checking_stop(e)
             finally:
-                out_q.put(None)
+                put_checking_stop(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
