@@ -60,7 +60,7 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: floa
 
 
 def exact_topk_two_stage(
-    s: jnp.ndarray, k: int, num_blocks: int = 64
+    s: jnp.ndarray, k: int, num_blocks: int = 64, nonnegative: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Provably-exact top-k over a long vector via per-block top-k.
 
@@ -69,20 +69,36 @@ def exact_topk_two_stage(
     top-k of the num_blocks*k block winners returns exactly the global top-k —
     while sorting only O(A log(A/nb) + nb*k log(nb*k)) elements instead of the
     full 230k-anchor sort that makes exact candidate pools 27% slower than
-    approx_max_k.
+    approx_max_k. nb=64 measured fastest
+    INSIDE the real nested-vmap consumer (tools/bench_nms_pool.py: 8.2 ms vs
+    16.9 full-sort vs 3.8 approx per batch-16 postprocess; the bare vmapped-
+    top-k probe preferred nb=256 — trust the in-context number).
 
     Tie semantics match jax.lax.top_k (ascending original index among equal
     values): blocks are contiguous index ranges emitted block-major, and within
     a block lax.top_k already orders ties by ascending index, so the stage-2
     top-k sees equal values in global ascending-index order and its own stable
     tie-break preserves it.
+
+    nonnegative=True (caller guarantees every element >= 0.0, no -0.0 producers
+    upstream of a `where(cond, s, 0.0)`) sorts the int32 bitcast instead — an
+    order-isomorphic key for nonnegative IEEE floats — which measures another
+    ~9% faster (integer comparators in the sort network). Values and tie order
+    are bit-identical to the float path.
     """
     a = s.shape[0]
     if num_blocks <= 1 or num_blocks * k >= a:
         return jax.lax.top_k(s, k)
+    if nonnegative and s.dtype == jnp.float32:
+        si = jax.lax.bitcast_convert_type(s, jnp.int32)
+        vals, idx = exact_topk_two_stage(si, k, num_blocks)
+        return jax.lax.bitcast_convert_type(vals, jnp.float32), idx
     block_len = -(-a // num_blocks)
     pad = num_blocks * block_len - a
-    sp = jnp.pad(s, (0, pad), constant_values=-jnp.inf)
+    pad_val = (
+        jnp.iinfo(s.dtype).min if jnp.issubdtype(s.dtype, jnp.integer) else -jnp.inf
+    )
+    sp = jnp.pad(s, (0, pad), constant_values=pad_val)
     vals, idx = jax.lax.top_k(sp.reshape(num_blocks, block_len), k)  # (nb, k)
     base = jnp.arange(num_blocks, dtype=idx.dtype)[:, None] * block_len
     flat_idx = (idx + base).reshape(-1)
@@ -118,7 +134,8 @@ def class_aware_nms(
         if approx_topk:
             vals, idx = jax.lax.approx_max_k(s, t, recall_target=0.99)
         else:
-            vals, idx = exact_topk_two_stage(s, t)  # descending, == lax.top_k
+            # s is where(.. > thr, scores, 0.0) -> provably nonnegative, no -0.0
+            vals, idx = exact_topk_two_stage(s, t, nonnegative=True)  # == lax.top_k
         b = boxes[idx]
         keep = greedy_nms_mask(b, vals, iou_threshold)
         return jnp.where(keep, vals, 0.0), b

@@ -226,9 +226,12 @@ def test_exact_topk_two_stage_matches_lax_topk():
     for s in cases:
         for k in (400, 100):
             want_v, want_i = jax.lax.top_k(jnp.asarray(s), k)
-            got_v, got_i = exact_topk_two_stage(jnp.asarray(s), k)
-            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+            for nonneg in (False, True):  # float sort and int32-bitcast sort
+                got_v, got_i = exact_topk_two_stage(
+                    jnp.asarray(s), k, nonnegative=nonneg
+                )
+                np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+                np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
 def test_exact_topk_two_stage_block_counts():
