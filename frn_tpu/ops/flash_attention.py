@@ -33,10 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
-                  q_splits: int,
+                  q_splits: int, use_exp2: bool,
                   q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr):
     k_idx = pl.program_id(2)
 
@@ -53,18 +54,24 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
         bq = q_ref.shape[1] // q_splits
         for i in range(q_splits):
             sl = slice(i * bq, (i + 1) * bq)
-            _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+            _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
                            q_ref[0, sl, :], k_ref, v_ref,
                            o_ref, lse_ref, m_scr, acc_scr, sl)
         return
 
-    _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+    _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
                    q_ref[0], k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
                    slice(None))
 
 
-def _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
+def _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
                    q, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, rows):
+    # use_exp2: Q arrives pre-scaled by log2(e) (see _flash_forward), so the
+    # softmax weights are 2^(s - m) — identical values, but exp2 is the VPU's
+    # native transcendental (exp costs an extra multiply per element). All
+    # running-max/correction algebra is domain-agnostic; lse is emitted in the
+    # NATURAL log domain either way (finalize converts via ln2).
+    exp_fn = jnp.exp2 if use_exp2 else jnp.exp
 
     # There is NO separate softmax-denominator accumulator: real V rows carry
     # 1.0 in free lane `d_ones` (see _flash_forward), so acc lane d_ones
@@ -91,12 +98,12 @@ def _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
         # no in-kernel masking: padded key rows carry NEG_INF in the bias lane
         # (see _flash_forward), so their scores arrive as ~-1e30 from the MXU
         m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
-        ps.append(jnp.exp(s - m_new))
+        ps.append(exp_fn(s - m_new))
         m_steps.append(m_new)
         m_run = m_new
 
     m_final = m_steps[-1]
-    acc = acc_scr[rows, :] * jnp.exp(m_prev0 - m_final)
+    acc = acc_scr[rows, :] * exp_fn(m_prev0 - m_final)
     for i in range(k_splits):
         pv = jax.lax.dot_general(
             ps[i].astype(vs[i].dtype), vs[i],
@@ -104,7 +111,7 @@ def _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
             preferred_element_type=jnp.float32,
         )  # (BQ, D)
         if i < k_splits - 1:
-            pv = pv * jnp.exp(m_steps[i] - m_final)
+            pv = pv * exp_fn(m_steps[i] - m_final)
         acc = acc + pv
     acc_scr[rows, :] = acc
     m_scr[rows, :] = m_final
@@ -113,11 +120,12 @@ def _flash_q_group(block_k, num_k, k_splits, d_ones, k_idx,
     def _finalize():
         l = acc[:, d_ones:d_ones + 1]  # rowsum(p) accumulated in-matmul
         o_ref[0, rows, :] = (acc / l).astype(o_ref.dtype)
-        # per-row logsumexp, consumed by the backward kernels (lane-broadcast:
-        # Pallas TPU blocks need a 128-divisible trailing dim)
-        lse_ref[0, rows, :] = jnp.broadcast_to(
-            m_final + jnp.log(l), lse_ref[0, rows, :].shape
-        )
+        # per-row logsumexp in the NATURAL log domain regardless of exp_fn
+        # (the backward kernels recompute s from UNSCALED q and use exp),
+        # lane-broadcast: Pallas TPU blocks need a 128-divisible trailing dim
+        ln2 = 0.6931471805599453
+        lse = (m_final * ln2 + jnp.log(l)) if use_exp2 else (m_final + jnp.log(l))
+        lse_ref[0, rows, :] = jnp.broadcast_to(lse, lse_ref[0, rows, :].shape)
 
 
 def _pad_to(x: jnp.ndarray, n: int, axis: int) -> jnp.ndarray:
@@ -140,7 +148,7 @@ def _pad_shapes(n: int, block_q: int, block_k: int):
     jax.jit,
     static_argnames=(
         "block_q", "block_k", "k_splits", "q_splits", "vmem_limit_mb",
-        "interpret", "return_lse",
+        "interpret", "return_lse", "use_exp2",
     ),
 )
 def _flash_forward(
@@ -154,6 +162,7 @@ def _flash_forward(
     vmem_limit_mb: int = 0,  # >0 raises Mosaic's scoped-VMEM budget (big blocks)
     interpret: bool = False,
     return_lse: bool = False,
+    use_exp2: bool = False,
 ):
     # Block sizes measured on v5e at the stage-1 shape (tools/bench_flash.py):
     # (1024,1024) 12.3 ms vs (512,1024) 13.1 vs (512,512) 21.0; 2048 blocks
@@ -165,6 +174,12 @@ def _flash_forward(
     assert block_k % k_splits == 0
     n_pad, num_q, num_k = _pad_shapes(n, block_q, block_k)
 
+    if use_exp2:
+        # fold the natural->base-2 change of base into Q once (one bf16 mul
+        # over N*D) so the kernel's per-score transcendental is the VPU-native
+        # exp2; softmax weights are bit-comparable (2^(log2e*s) == e^s up to
+        # the one extra rounding of the scaled Q)
+        q = q * jnp.asarray(LOG2E, q.dtype)
     qp = _pad_to(_pad_to(q, LANE, 2), n_pad, 1)
     kp = _pad_to(_pad_to(k, LANE, 2), n_pad, 1)
     vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
@@ -184,7 +199,7 @@ def _flash_forward(
 
     assert block_q % q_splits == 0
     kernel = functools.partial(
-        _flash_kernel, block_k, num_k, k_splits, d_ones, q_splits
+        _flash_kernel, block_k, num_k, k_splits, d_ones, q_splits, use_exp2
     )
     out, lse = pl.pallas_call(
         kernel,

@@ -131,3 +131,25 @@ def test_flash_dispatch_skips_head_dim_128(monkeypatch):
     got = np.asarray(nonlocal_attention(g, th, ph))
     want = np.asarray(_reference_attention(g, th, ph))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_flash_exp2_matches_exp():
+    """use_exp2 folds log2(e) into Q and uses the VPU-native exp2 — weights are
+    2^(log2e*s) == e^s up to one extra rounding of the scaled Q; outputs must
+    agree with the exp path to f32-rounding tolerance, and the emitted lse must
+    stay in the natural-log domain."""
+    from frn_tpu.ops.flash_attention import _flash_forward
+
+    rng = np.random.default_rng(33)
+    b, n, d = 2, 300, 32
+    q = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    base, lse_base = _flash_forward(
+        q, k, v, block_q=128, block_k=128, interpret=True, return_lse=True)
+    got, lse_got = _flash_forward(
+        q, k, v, block_q=128, block_k=128, interpret=True, return_lse=True,
+        use_exp2=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lse_got), np.asarray(lse_base), atol=2e-4, rtol=2e-5)
