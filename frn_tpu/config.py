@@ -121,6 +121,13 @@ class ModelConfig:
     # at full rate on TPU. Attention softmax and loss always run in f32.
     compute_dtype: str = "float32"
     attention_chunk: int = 1024  # query-block size for flash cross-attention
+    # Run both head towers as one grouped-conv chain per pyramid level
+    # (heads.fused_dual_heads). Measured-and-REJECTED as the default on v5e:
+    # isolated 5-level probe wins 13.2 vs 14.9 ms @ b8, but the full graph
+    # measures 135.8 vs 138.3 img/s @ b16 (tools/probe_heads2.py vs bench.py) —
+    # the isolated win does not transfer (layout negotiation with the
+    # surrounding graph). Kept exact + tested for other geometries/hardware.
+    fused_heads: bool = False
 
     @property
     def block_layers(self) -> Tuple[int, ...]:

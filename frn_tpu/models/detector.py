@@ -114,7 +114,21 @@ class FRNDetector(nn.Module):
             dtype=dtype,
             name="regressionModel",
         )
-        classification, regression = apply_heads(cls_head, reg_head, pyramid)
+        if mc.fused_heads and not self.is_initializing():
+            # grouped-conv dual-head fast path: reads the heads' raw kernels via
+            # self.variables (same param tree; init still builds the modules
+            # below so checkpoints/converters are unchanged)
+            from frn_tpu.models.heads import fused_dual_heads
+
+            p = self.variables["params"]
+            classification, regression = fused_dual_heads(
+                p["classificationModel"], p["regressionModel"], pyramid,
+                num_classes=mc.num_classes,
+                num_anchors=cfg.anchors.num_anchors_per_cell,
+                dtype=dtype,
+            )
+        else:
+            classification, regression = apply_heads(cls_head, reg_head, pyramid)
         return classification.astype(jnp.float32), regression.astype(jnp.float32)
 
 

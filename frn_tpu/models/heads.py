@@ -124,6 +124,81 @@ def _unpack(out_map: jnp.ndarray, shapes, origins, last: int) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=1)
 
 
+def fused_dual_heads(
+    cls_params, reg_params, features: Sequence[jnp.ndarray], num_classes: int,
+    num_anchors: int = 9, dtype: Optional[jnp.dtype] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both head towers in ONE conv chain per level via grouped convolutions.
+
+    The cls and reg towers read the same pyramid feature, so layer 1 becomes a
+    single 256->512 conv (outputs = [cls tower | reg tower]) and layers 2-4
+    become feature_group_count=2 convs whose packed kernel is just
+    concat([cls_kernel, reg_kernel], out_axis) — XLA assigns input channels
+    0-255 to output group 0-255, exactly the separate-tower contraction. The
+    output layer packs 256->27 (cls, zero-padded to 36) and 256->36 (reg) as a
+    grouped 512->72 conv; pad outputs are sliced off.
+
+    Measured on v5e @ b8 P2: 7.46 ms vs 8.61 for separate towers
+    (tools/probe_heads2.py) — one wide MXU pass per layer instead of two
+    narrower ones. Weight packing is 5 small concats per forward (~5 MB),
+    amortized across all pyramid levels. Numerically this is the same set of
+    per-group contractions the separate convs perform.
+
+    cls_params/reg_params are the heads' raw param subtrees
+    (classificationModel/regressionModel), read by the detector via
+    self.variables — the checkpoint tree is unchanged.
+    """
+    a, c = num_anchors, num_classes
+
+    def kb(p, name):
+        q = p[name]["Conv_0"]
+        return q["kernel"], q["bias"]
+
+    layers = []
+    for i in range(1, 5):
+        ck, cb = kb(cls_params, f"conv{i}")
+        rk, rb = kb(reg_params, f"conv{i}")
+        layers.append((jnp.concatenate([ck, rk], axis=3),
+                       jnp.concatenate([cb, rb], axis=0),
+                       1 if i == 1 else 2))
+    cok, cob = kb(cls_params, "output")   # (3,3,256,A*C), (A*C,)
+    rok, rob = kb(reg_params, "output")   # (3,3,256,A*4), (A*4,)
+    co, ro = a * c, a * 4
+    pad = max(co, ro)
+    cok = jnp.pad(cok, ((0, 0), (0, 0), (0, 0), (0, pad - co)))
+    cob = jnp.pad(cob, (0, pad - co))
+    rok = jnp.pad(rok, ((0, 0), (0, 0), (0, 0), (0, pad - ro)))
+    rob = jnp.pad(rob, (0, pad - ro))
+    out_k = jnp.concatenate([cok, rok], axis=3)  # (3,3,256,2*pad), groups=2
+    out_b = jnp.concatenate([cob, rob], axis=0)
+
+    if dtype is not None:
+        layers = [(k.astype(dtype), b.astype(dtype), g) for k, b, g in layers]
+        out_k, out_b = out_k.astype(dtype), out_b.astype(dtype)
+
+    def conv(x, k, b, groups):
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        return y + b
+
+    cls_rows, reg_rows = [], []
+    for f in features:
+        x = f.astype(dtype) if dtype is not None else f
+        for k, b_, g in layers:
+            x = nn.relu(conv(x, k, b_, g))
+        out = conv(x, out_k, out_b, 2)
+        b = out.shape[0]
+        cls_map = nn.sigmoid(out[..., :co].astype(jnp.float32))
+        reg_map = out[..., pad:pad + ro]
+        cls_rows.append(cls_map.reshape(b, -1, c))
+        reg_rows.append(reg_map.reshape(b, -1, 4))
+    return (jnp.concatenate(cls_rows, axis=1),
+            jnp.concatenate(reg_rows, axis=1))
+
+
 def apply_heads(
     cls_head: nn.Module, reg_head: nn.Module, features: Sequence[jnp.ndarray],
     packed: bool = False,
