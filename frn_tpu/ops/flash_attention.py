@@ -37,7 +37,7 @@ LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
-                  q_splits: int, use_exp2: bool,
+                  q_splits: int, use_exp2: bool, exp_bf16: bool,
                   q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr):
     k_idx = pl.program_id(2)
 
@@ -54,17 +54,17 @@ def _flash_kernel(block_k: int, num_k: int, k_splits: int, d_ones: int,
         bq = q_ref.shape[1] // q_splits
         for i in range(q_splits):
             sl = slice(i * bq, (i + 1) * bq)
-            _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
-                           q_ref[0, sl, :], k_ref, v_ref,
+            _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2,
+                           exp_bf16, k_idx, q_ref[0, sl, :], k_ref, v_ref,
                            o_ref, lse_ref, m_scr, acc_scr, sl)
         return
 
-    _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
+    _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, exp_bf16, k_idx,
                    q_ref[0], k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
                    slice(None))
 
 
-def _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
+def _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, exp_bf16, k_idx,
                    q, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, rows):
     # use_exp2: Q arrives pre-scaled by log2(e) (see _flash_forward), so the
     # softmax weights are 2^(s - m) — identical values, but exp2 is the VPU's
@@ -98,7 +98,16 @@ def _flash_q_group(block_k, num_k, k_splits, d_ones, use_exp2, k_idx,
         # no in-kernel masking: padded key rows carry NEG_INF in the bias lane
         # (see _flash_forward), so their scores arrive as ~-1e30 from the MXU
         m_new = jnp.maximum(m_run, jnp.max(s, axis=1, keepdims=True))
-        ps.append(exp_fn(s - m_new))
+        if exp_bf16:
+            # exp on a bf16 tile: half the VPU vector width per op. The PV
+            # matmul consumes p in bf16 anyway, so today's pipeline already
+            # rounds p to bf16 AFTER an f32 exp; computing exp directly in
+            # bf16 only adds the rounding of (s - m_new) <= 0: p error
+            # ~|s-m|*2^-9 relative, i.e. <= 2% for weights >= e^-11 and
+            # ~bf16-roundoff for the dominant near-max weights.
+            ps.append(exp_fn((s - m_new).astype(jnp.bfloat16)))
+        else:
+            ps.append(exp_fn(s - m_new))
         m_steps.append(m_new)
         m_run = m_new
 
@@ -148,7 +157,7 @@ def _pad_shapes(n: int, block_q: int, block_k: int):
     jax.jit,
     static_argnames=(
         "block_q", "block_k", "k_splits", "q_splits", "vmem_limit_mb",
-        "interpret", "return_lse", "use_exp2",
+        "interpret", "return_lse", "use_exp2", "exp_bf16",
     ),
 )
 def _flash_forward(
@@ -163,6 +172,7 @@ def _flash_forward(
     interpret: bool = False,
     return_lse: bool = False,
     use_exp2: bool = False,
+    exp_bf16: bool = False,
 ):
     # Block sizes measured on v5e at the stage-1 shape (tools/bench_flash.py):
     # (1024,1024) 12.3 ms vs (512,1024) 13.1 vs (512,512) 21.0; 2048 blocks
@@ -199,7 +209,8 @@ def _flash_forward(
 
     assert block_q % q_splits == 0
     kernel = functools.partial(
-        _flash_kernel, block_k, num_k, k_splits, d_ones, q_splits, use_exp2
+        _flash_kernel, block_k, num_k, k_splits, d_ones, q_splits, use_exp2,
+        exp_bf16,
     )
     out, lse = pl.pallas_call(
         kernel,

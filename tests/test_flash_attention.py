@@ -153,3 +153,21 @@ def test_flash_exp2_matches_exp():
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(
         np.asarray(lse_got), np.asarray(lse_base), atol=2e-4, rtol=2e-5)
+
+
+def test_flash_exp_bf16_close_to_f32():
+    """exp_bf16 computes the softmax weights from a bf16 (s - m): the dominant
+    near-max weights see only bf16 roundoff (the PV matmul consumed bf16 p
+    already), so outputs must track the f32-exp kernel to ~bf16 tolerance."""
+    from frn_tpu.ops.flash_attention import _flash_forward
+
+    rng = np.random.default_rng(44)
+    b, n, d = 2, 300, 32
+    q = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    base = _flash_forward(q, k, v, block_q=128, block_k=128, interpret=True)
+    got = _flash_forward(q, k, v, block_q=128, block_k=128, interpret=True,
+                         exp_bf16=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=2e-2, rtol=2e-2)

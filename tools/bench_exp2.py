@@ -39,6 +39,8 @@ def main():
                block_q=bq, block_k=bk, vmem_limit_mb=mb)
         timeit(f"{label} exp2  (bq={bq})", _flash_forward, q, k, v,
                block_q=bq, block_k=bk, vmem_limit_mb=mb, use_exp2=True)
+        timeit(f"{label} exp-bf16 (bq={bq})", _flash_forward, q, k, v,
+               block_q=bq, block_k=bk, vmem_limit_mb=mb, exp_bf16=True)
 
 
 if __name__ == "__main__":
