@@ -56,6 +56,14 @@ def get_parser() -> argparse.ArgumentParser:
         " Record runs default to the exact pool.",
     )
     p.add_argument(
+        "--postprocess", default=None,
+        choices=["dense", "pooled", "pooled_logits", "pooled_chanlast"],
+        help="eval postprocess pipeline shape (EvalConfig.postprocess): dense "
+        "decodes all anchors before NMS (reference order); the pooled rungs "
+        "decode only the per-class top-k pool — same detections, measured on "
+        "the full graph in tools/bench_fastpath.py. Default: config default.",
+    )
+    p.add_argument(
         "--max_detections", type=int, default=100,
         help="static per-image detection cap. The reference eval branch is "
         "UNCAPPED (model.py:326-364 returns every above-threshold post-NMS "
@@ -106,6 +114,11 @@ def main(argv=None):
             config.eval,
             approx_topk=args.approx_topk,
             max_detections=args.max_detections,
+            **(
+                {"postprocess": args.postprocess}
+                if args.postprocess is not None
+                else {}
+            ),
         ),
     )
 

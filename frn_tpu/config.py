@@ -128,6 +128,11 @@ class ModelConfig:
     # the isolated win does not transfer (layout negotiation with the
     # surrounding graph). Kept exact + tested for other geometries/hardware.
     fused_heads: bool = False
+    # Evaluate backbone stems with the Pallas implicit-GEMM kernel
+    # (ops/stem.py) instead of XLA's tiny-input-channel conv lowering.
+    # Inference-path only (the Pallas call defines no VJP); training uses the
+    # XLA stem regardless.
+    stem_kernel: bool = False
 
     @property
     def block_layers(self) -> Tuple[int, ...]:
@@ -151,6 +156,13 @@ class EvalConfig:
     # TPU-optimized approximate candidate selection (recall 0.997 @ k=400/230k
     # anchors, 3.5x faster than exact sort); False = exact lax.top_k.
     approx_topk: bool = True
+    # Postprocess pipeline shape (all produce the same detections; see
+    # core/nms.py pooled_class_aware_nms for the exactness argument):
+    #   'dense'           decode+clip all anchors, then NMS (reference order)
+    #   'pooled'          per-class score top-k first, decode only the pool
+    #   'pooled_logits'   + heads emit bf16 logits, sigmoid deferred past top-k
+    #   'pooled_chanlast' + classification emitted class-major (B, K, A)
+    postprocess: str = "dense"
 
 
 @dataclasses.dataclass(frozen=True)

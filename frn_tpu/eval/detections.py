@@ -44,9 +44,17 @@ def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> C
         anchors = jax.device_put(image_anchors(config))
         bsh = None
 
+    # pooled_logits/pooled_chanlast postprocess needs the heads to emit logits
+    # in the matching layout (EvalConfig.postprocess docs in config.py)
+    eval_output = {
+        "pooled_logits": "logits", "pooled_chanlast": "logits_chanlast",
+    }.get(config.eval.postprocess, "probs")
+
     @jax.jit
     def _infer(variables, anchors, rgb, event):
-        cls, reg = model.apply(variables, rgb, event, train=False)
+        cls, reg = model.apply(
+            variables, rgb, event, train=False, eval_output=eval_output
+        )
         return decode_detections(cls, reg, config, anchors=anchors)
 
     def infer(rgb, event):

@@ -47,7 +47,12 @@ class FRNDetector(nn.Module):
     config: FrameworkConfig
 
     @nn.compact
-    def __call__(self, rgb: jnp.ndarray, event: jnp.ndarray, train: bool = False):
+    def __call__(self, rgb: jnp.ndarray, event: jnp.ndarray, train: bool = False,
+                 eval_output: str = "probs"):
+        """eval_output selects the eval fast-path emission (EvalConfig.postprocess):
+        'probs' (default, reference contract: f32 sigmoid cls + f32 reg),
+        'logits' (compute-dtype cls logits + reg deltas for pooled deferred-
+        sigmoid decode), 'logits_chanlast' (cls logits class-major (B, K, A))."""
         cfg = self.config
         mc = cfg.model
         dtype = _dtype_of(mc.compute_dtype)
@@ -63,14 +68,21 @@ class FRNDetector(nn.Module):
         rgb = rgb.astype(dtype)
         event = event.astype(dtype)
 
+        # Pallas stem: inference only (no VJP) and TPU backends only
+        stem_kernel = mc.stem_kernel and not train
+        if stem_kernel:
+            from frn_tpu.ops.stem import stem_kernel_available
+
+            stem_kernel = stem_kernel_available()
+
         if variant == "fusion":
             rgb_feats = ResNetBackbone(
                 layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
-                name="rgb_backbone",
+                stem_kernel=stem_kernel, name="rgb_backbone",
             )(rgb)
             evt_feats = ResNetBackbone(
                 layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
-                name="event_backbone",
+                stem_kernel=stem_kernel, name="event_backbone",
             )(event)
             stage_channels = (256, 512, 1024, 2048) if mc.bottleneck else (64, 128, 256, 512)
             fused = tuple(
@@ -83,12 +95,12 @@ class FRNDetector(nn.Module):
         elif variant == "event":
             feats = ResNetBackbone(
                 layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
-                name="backbone",
+                stem_kernel=stem_kernel, name="backbone",
             )(event)
         elif variant == "rgb":
             feats = ResNetBackbone(
                 layers=mc.block_layers, bottleneck=mc.bottleneck, dtype=dtype,
-                name="backbone",
+                stem_kernel=stem_kernel, name="backbone",
             )(rgb)
         else:
             raise ValueError(f"Unknown variant {variant!r}")
@@ -114,6 +126,14 @@ class FRNDetector(nn.Module):
             dtype=dtype,
             name="regressionModel",
         )
+        if eval_output != "probs":
+            # pooled-decode fast path: logits in compute dtype, no full-table
+            # f32 casts — decode_detections sigmoids/casts only the NMS pool
+            classification, regression = apply_heads(
+                cls_head, reg_head, pyramid,
+                cls_mode={"logits": "logits", "logits_chanlast": "logits_chanlast"}[eval_output],
+            )
+            return classification, regression
         if mc.fused_heads and not self.is_initializing():
             # grouped-conv dual-head fast path: reads the heads' raw kernels via
             # self.variables (same param tree; init still builds the modules
@@ -166,6 +186,27 @@ def decode_detections(
     geo, ev = config.geometry, config.eval
     if anchors is None:
         anchors = image_anchors(config)
+    if ev.postprocess != "dense":
+        # Pool-first decode: per-class score top-k, then decode/clip only the
+        # pooled candidates (bitwise-identical; core/nms.py for the argument).
+        # 'pooled_logits'/'pooled_chanlast' additionally expect the model to
+        # have been called with the matching eval_output (heads emit logits).
+        from frn_tpu.core.nms import pooled_detection_postprocess
+
+        return pooled_detection_postprocess(
+            anchors,
+            regression,
+            classification,
+            (geo.height, geo.width),
+            std=config.box_coder.std,
+            score_threshold=ev.score_threshold,
+            iou_threshold=ev.nms_iou,
+            per_class_topk=ev.per_class_topk,
+            max_detections=ev.max_detections,
+            approx_topk=ev.approx_topk,
+            logits=ev.postprocess in ("pooled_logits", "pooled_chanlast"),
+            class_major=ev.postprocess == "pooled_chanlast",
+        )
     boxes = decode_boxes(anchors, regression, std=config.box_coder.std)
     boxes = clip_boxes(boxes, (geo.height, geo.width))
     return batched_detection_postprocess(

@@ -61,7 +61,11 @@ class ClassificationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 raw: bool = False) -> jnp.ndarray:
+                 raw: bool = False, mode: str = "probs") -> jnp.ndarray:
+        """mode: 'probs' (f32 sigmoid, reference contract), 'logits' (compute-
+        dtype pre-sigmoid scores for the deferred-sigmoid eval fast path), or
+        'logits_chanlast' (logits emitted class-major (B, K, hwA) so the
+        postprocess per-class vmap needs no narrow-minor transpose)."""
         for i in range(1, 5):
             x = nn.relu(Conv(self.feature_size, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(x))
             if mask is not None:
@@ -73,10 +77,15 @@ class ClassificationHead(nn.Module):
             bias_init=nn.initializers.constant(bias_value),
             dtype=self.dtype, name="output",
         )(x)
-        out = nn.sigmoid(out.astype(jnp.float32))
+        if mode == "probs":
+            out = nn.sigmoid(out.astype(jnp.float32))
         if raw:
             return out
         b = out.shape[0]
+        if mode == "logits_chanlast":
+            h, w, _ = out.shape[1:]
+            out = out.reshape(b, h, w, self.num_anchors, self.num_classes)
+            return out.transpose(0, 4, 1, 2, 3).reshape(b, self.num_classes, -1)
         return out.reshape(b, -1, self.num_classes)
 
 
@@ -201,14 +210,25 @@ def fused_dual_heads(
 
 def apply_heads(
     cls_head: nn.Module, reg_head: nn.Module, features: Sequence[jnp.ndarray],
-    packed: bool = False,
+    packed: bool = False, cls_mode: str = "probs",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run shared heads over all pyramid levels, concat along the anchor dim.
 
     packed=False is the measured default on v5e: the canvas path came out
     SLOWER end-to-end (21.7 vs 18.7 ms for both heads at b8, DSEC geometry) —
     the update-slice/mask/slice overheads and the canvas's odd tiling beat the
-    per-level utilization win. Kept (exact, tested) for other geometries."""
+    per-level utilization win. Kept (exact, tested) for other geometries.
+
+    cls_mode: classification emission mode (see ClassificationHead.__call__);
+    'logits'/'logits_chanlast' serve the pooled-decode eval fast path. The
+    packed-canvas path only supports 'probs'."""
+    if cls_mode != "probs":
+        axis = 2 if cls_mode == "logits_chanlast" else 1
+        regression = jnp.concatenate([reg_head(f) for f in features], axis=1)
+        classification = jnp.concatenate(
+            [cls_head(f, mode=cls_mode) for f in features], axis=axis
+        )
+        return classification, regression
     if packed and len(features) > 1:
         canvas, mask, shapes, origins = pack_pyramid(features)
         reg_map = reg_head(canvas, mask=mask, raw=True)

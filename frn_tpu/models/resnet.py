@@ -80,6 +80,10 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     bottleneck: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Evaluate the stem with the Pallas implicit-GEMM kernel (ops/stem.py)
+    # instead of the XLA conv. Same params/checkpoints; f32 accumulation with a
+    # single rounding (the XLA path rounds twice in bf16: conv out, then BN).
+    stem_kernel: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -87,9 +91,29 @@ class ResNetBackbone(nn.Module):
         # NOTE: a space-to-depth rewrite of this stem (layers._SpaceToDepthConv)
         # measured SLOWER on v5e (3.43 vs 2.44 ms/op slope at b8) — XLA's plain
         # lowering wins despite the tiny input channel count; keep it plain
-        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        use_kernel = (
+            self.stem_kernel
+            and not self.is_initializing()
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if use_kernel:
+            import jax
+
+            from frn_tpu.ops.stem import stem_conv_bn_relu
+
+            p = self.variables["params"]
+            bs = self.variables["batch_stats"]
+            k = p["conv1"]["Conv_0"]["kernel"]
+            inv = jax.lax.rsqrt(bs["bn1"]["var"] + 1e-5) * p["bn1"]["scale"]
+            x = stem_conv_bn_relu(
+                x, k.astype(x.dtype), inv,
+                p["bn1"]["bias"] - bs["bn1"]["mean"] * inv,
+            )
+        else:
+            x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
         feats = []
