@@ -133,6 +133,11 @@ class ModelConfig:
     # Inference-path only (the Pallas call defines no VJP); training uses the
     # XLA stem regardless.
     stem_kernel: bool = False
+    # Compute the flash-attention softmax weights' exp on bf16 (s - m) tiles —
+    # half the VPU vector width per transcendental; dominant weights see only
+    # bf16 roundoff (tests/test_flash_attention.py). Inference-path only (the
+    # bf16-exp forward defines no VJP); training always uses the f32-exp kernel.
+    flash_exp_bf16: bool = False
 
     @property
     def block_layers(self) -> Tuple[int, ...]:

@@ -87,7 +87,10 @@ class FRNDetector(nn.Module):
             stage_channels = (256, 512, 1024, 2048) if mc.bottleneck else (64, 128, 256, 512)
             fused = tuple(
                 REFusion(
-                    channels=c, chunk=mc.attention_chunk, dtype=dtype, name=f"fus_{i}"
+                    channels=c, chunk=mc.attention_chunk, dtype=dtype,
+                    # bf16-exp flash softmax: inference only (no VJP)
+                    exp_bf16=mc.flash_exp_bf16 and not train,
+                    name=f"fus_{i}",
                 )(e, r)  # (event, rgb) order per model.py:305-308
                 for i, (c, e, r) in enumerate(zip(stage_channels, evt_feats, rgb_feats))
             )

@@ -49,6 +49,7 @@ class CrossAttentionBlock(nn.Module):
     in_channels: int
     chunk: int = 1024
     dtype: Optional[jnp.dtype] = None
+    exp_bf16: bool = False  # inference-only flash softmax option (config.py)
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +64,7 @@ class CrossAttentionBlock(nn.Module):
         hw = h * w
         y = nonlocal_attention(
             g.reshape(b, hw, c8), theta.reshape(b, hw, c8), phi.reshape(b, hw, c8),
-            chunk=self.chunk,
+            chunk=self.chunk, exp_bf16=self.exp_bf16,
         )
         # replicate the reference's (B,HW,C8)->(B,C8,H,W) view (Attention.py:32)
         y = reference_view_to_nhwc(y, h, w)
@@ -84,6 +85,7 @@ class REFusion(nn.Module):
     channels: int
     chunk: int = 1024
     dtype: Optional[jnp.dtype] = None
+    exp_bf16: bool = False
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -102,9 +104,11 @@ class REFusion(nn.Module):
         b1 = b0 + mul
 
         y_a = CrossAttentionBlock(
-            self.channels, self.chunk, self.dtype, name="rgb_cross_attention"
+            self.channels, self.chunk, self.dtype, self.exp_bf16,
+            name="rgb_cross_attention",
         )(a1, b1)
         y_b = CrossAttentionBlock(
-            self.channels, self.chunk, self.dtype, name="event_cross_attention"
+            self.channels, self.chunk, self.dtype, self.exp_bf16,
+            name="event_cross_attention",
         )(b1, a1)
         return jnp.concatenate([y_a, y_b], axis=-1)

@@ -31,6 +31,7 @@ def nonlocal_attention(
     theta: jnp.ndarray,  # (B, HW, C8) keys, from the style stream x1
     phi: jnp.ndarray,  # (B, HW, C8) queries, from the style stream x1
     chunk: int = 1024,
+    exp_bf16: bool = False,  # inference-only bf16-exp softmax weights
 ) -> jnp.ndarray:
     """softmax(phi . theta^T) . g -> (B, HW, C8). No 1/sqrt(d) scaling (matches ref)."""
     b, hw, c8 = g.shape
@@ -48,9 +49,12 @@ def nonlocal_attention(
         from frn_tpu.ops.flash_attention import (
             flash_attention_available,
             flash_nonlocal_attention,
+            flash_nonlocal_attention_bf16exp,
         )
 
         if flash_attention_available():
+            if exp_bf16:
+                return flash_nonlocal_attention_bf16exp(g, theta, phi)
             return flash_nonlocal_attention(g, theta, phi)
     if hw <= chunk:
         scores = jnp.einsum(

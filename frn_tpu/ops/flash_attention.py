@@ -421,6 +421,18 @@ def flash_nonlocal_attention(g, theta, phi):
     return _flash_forward(phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb)
 
 
+def flash_nonlocal_attention_bf16exp(g, theta, phi):
+    """Inference-only forward with bf16-exp softmax weights (no VJP defined).
+
+    Gated by ModelConfig.flash_exp_bf16; numerics vs the f32-exp kernel differ
+    only by bf16 roundoff on the softmax weights (tests/test_flash_attention.py).
+    """
+    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
+    return _flash_forward(
+        phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb, exp_bf16=True
+    )
+
+
 def _use_pallas_bwd() -> bool:
     return flash_attention_available()
 

@@ -352,3 +352,41 @@ def test_detector_fused_heads_flag_consistency():
     c_off, r_off = m_off.apply(v, rgb, event, train=False)
     np.testing.assert_allclose(np.asarray(c_on), np.asarray(c_off), atol=1e-6)
     np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off), atol=1e-5)
+
+
+def test_detector_flash_exp_bf16_flag_wiring():
+    """flash_exp_bf16 must thread through the fusion stack and be a no-op where
+    the Pallas kernel is unavailable (CPU) and on the training path (no VJP is
+    defined for the bf16-exp forward). Kernel-level numerics are covered in
+    test_flash_attention.py."""
+    cfg_on = FrameworkConfig(
+        geometry=dataclasses.replace(DSEC, height=64, width=64),
+        model=ModelConfig(variant="fusion", depth=18, num_classes=3,
+                          feature_size=32, attention_chunk=128,
+                          flash_exp_bf16=True),
+    )
+    cfg_off = dataclasses.replace(
+        cfg_on, model=dataclasses.replace(cfg_on.model, flash_exp_bf16=False))
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    event = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 5)), jnp.float32)
+
+    m_on, v = init_detector(cfg_on, jax.random.PRNGKey(0), batch_size=2)
+    m_off = FRNDetector(cfg_off)
+    c_on, r_on = m_on.apply(v, rgb, event, train=False)
+    c_off, r_off = m_off.apply(v, rgb, event, train=False)
+    np.testing.assert_array_equal(np.asarray(c_on), np.asarray(c_off))
+    np.testing.assert_array_equal(np.asarray(r_on), np.asarray(r_off))
+
+    # training path must still differentiate (flag forced off under train=True)
+    stats = {"batch_stats": v.get("batch_stats", {})}
+
+    def loss_fn(params):
+        c, r = m_on.apply(
+            {"params": params, **stats}, rgb, event,
+            train=True, rngs={"modality": jax.random.PRNGKey(1)},
+        )
+        return jnp.sum(c.astype(jnp.float32) ** 2) + jnp.sum(r.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))

@@ -74,10 +74,12 @@ def main():
         sync(out)
         return args.batch * args.iters / (time.perf_counter() - t0)
 
-    def cfg_for(postprocess="dense", stem=False, approx=True):
+    def cfg_for(postprocess="dense", stem=False, approx=True, exp_bf16=False):
         return dataclasses.replace(
             base,
-            model=dataclasses.replace(base.model, stem_kernel=stem),
+            model=dataclasses.replace(
+                base.model, stem_kernel=stem, flash_exp_bf16=exp_bf16
+            ),
             eval=dataclasses.replace(
                 base.eval, postprocess=postprocess, approx_topk=approx
             ),
@@ -86,18 +88,20 @@ def main():
     outputs = {"dense": "probs", "pooled": "probs", "pooled_logits": "logits",
                "pooled_chanlast": "logits_chanlast"}
     variants = [
-        ("base", "dense", False),
-        ("pooled", "pooled", False),
-        ("pooled_logits", "pooled_logits", False),
-        ("pooled_chanlast", "pooled_chanlast", False),
-        ("stem", "dense", True),
-        ("stem+chanlast", "pooled_chanlast", True),
+        ("base", "dense", False, False),
+        ("pooled", "pooled", False, False),
+        ("pooled_logits", "pooled_logits", False, False),
+        ("pooled_chanlast", "pooled_chanlast", False, False),
+        ("stem", "dense", True, False),
+        ("exp_bf16", "dense", False, True),
+        ("all", "pooled_chanlast", True, True),
     ]
-    for name, post, stem in variants:
-        fps = measure(cfg_for(post, stem), outputs[post])
+    for name, post, stem, ebf16 in variants:
+        fps = measure(cfg_for(post, stem, exp_bf16=ebf16), outputs[post])
         print(f"{name:18s} approx {fps:7.2f} img/s", flush=True)
         if args.exact:
-            fps_e = measure(cfg_for(post, stem, approx=False), outputs[post])
+            fps_e = measure(cfg_for(post, stem, approx=False, exp_bf16=ebf16),
+                            outputs[post])
             print(f"{name:18s} exact  {fps_e:7.2f} img/s", flush=True)
 
 
