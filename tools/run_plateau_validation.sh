@@ -25,6 +25,6 @@ exec python -m frn_tpu.cli.train --dataset_name dsec \
   --csv_train "$ROOT/labels_test.csv" --csv_test "$ROOT/labels_test.csv" \
   --csv_classes "$ROOT/labels_map.csv" \
   --root_img "$ROOT/images" --root_event "$ROOT/events" \
-  --fusion fusion --depth 50 --compute_dtype bfloat16 \
+  --fusion fpn_fusion --depth 50 --compute_dtype bfloat16 \
   --epochs 60 --warmup_steps 60 --eval_every 10 \
   --checkpoint_every 1000 --checkpoint_dir "$ROOT/ckpt"
