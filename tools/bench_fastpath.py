@@ -31,16 +31,29 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--exact", action="store_true",
                     help="also measure exact-topk records per variant")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry + depth-18 on CPU: validates every "
+                    "variant traces/runs before burning TPU time")
     args = ap.parse_args()
 
+    import dataclasses as dc
+
+    if args.smoke:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+        args.batch, args.iters = 2, 1
+
     from frn_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    if not args.smoke:
+        enable_compilation_cache()
     from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
     from frn_tpu.models.detector import decode_detections, image_anchors, init_detector
 
     base = FrameworkConfig(
-        geometry=DSEC,
-        model=ModelConfig(variant="fusion", depth=50, num_classes=3,
+        geometry=dc.replace(DSEC, height=96, width=128) if args.smoke else DSEC,
+        model=ModelConfig(variant="fusion", depth=18 if args.smoke else 50,
+                          num_classes=3,
+                          feature_size=32 if args.smoke else 256,
                           compute_dtype="bfloat16"),
     )
     model, variables = init_detector(base, jax.random.PRNGKey(0), batch_size=args.batch)
