@@ -35,7 +35,12 @@ def main():
     from frn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
-    from frn_tpu.models.detector import FRNDetector, decode_detections, init_detector
+    from frn_tpu.models.detector import (
+        FRNDetector,
+        decode_detections,
+        eval_output_for,
+        init_detector,
+    )
 
     import dataclasses
 
@@ -51,14 +56,20 @@ def main():
     model, variables = init_detector(cfg, jax.random.PRNGKey(0), batch_size=BATCH)
     anchors = jax.device_put(image_anchors(cfg))
 
+    eval_output = eval_output_for(cfg)
+
     @jax.jit
     def infer(variables, anchors, rgb, event):
-        cls, reg = model.apply(variables, rgb, event, train=False)
+        cls, reg = model.apply(
+            variables, rgb, event, train=False, eval_output=eval_output
+        )
         return decode_detections(cls, reg, cfg, anchors=anchors)
 
     @jax.jit
     def infer_exact(variables, anchors, rgb, event):
-        cls, reg = model.apply(variables, rgb, event, train=False)
+        cls, reg = model.apply(
+            variables, rgb, event, train=False, eval_output=eval_output
+        )
         return decode_detections(cls, reg, cfg_exact, anchors=anchors)
 
     geo = cfg.geometry

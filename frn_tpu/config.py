@@ -167,7 +167,13 @@ class EvalConfig:
     #   'pooled'          per-class score top-k first, decode only the pool
     #   'pooled_logits'   + heads emit bf16 logits, sigmoid deferred past top-k
     #   'pooled_chanlast' + classification emitted class-major (B, K, A)
-    postprocess: str = "dense"
+    # Default is the full-graph A/B winner on v5e (tools/bench_fastpath.py,
+    # b16 DSEC fusion): pooled_chanlast 144.0/137.2 img/s (approx/exact) vs
+    # dense 138.0/128.1; pooled and pooled_logits alone measured no win —
+    # the class-major emission that skips the (A, K)->(K, A) narrow-minor
+    # transpose is what pays. Model calls must pass
+    # eval_output=eval_output_for(config) (models/detector.py).
+    postprocess: str = "pooled_chanlast"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,9 +46,9 @@ def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> C
 
     # pooled_logits/pooled_chanlast postprocess needs the heads to emit logits
     # in the matching layout (EvalConfig.postprocess docs in config.py)
-    eval_output = {
-        "pooled_logits": "logits", "pooled_chanlast": "logits_chanlast",
-    }.get(config.eval.postprocess, "probs")
+    from frn_tpu.models.detector import eval_output_for
+
+    eval_output = eval_output_for(config)
 
     @jax.jit
     def _infer(variables, anchors, rgb, event):

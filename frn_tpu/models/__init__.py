@@ -1,6 +1,7 @@
 from frn_tpu.models.detector import (
     FRNDetector,
     decode_detections,
+    eval_output_for,
     detection_loss,
     image_anchors,
     init_detector,
@@ -13,6 +14,7 @@ from frn_tpu.models.resnet import ResNetBackbone
 __all__ = [
     "FRNDetector",
     "decode_detections",
+    "eval_output_for",
     "detection_loss",
     "image_anchors",
     "init_detector",

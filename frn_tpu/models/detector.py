@@ -155,6 +155,20 @@ class FRNDetector(nn.Module):
         return classification.astype(jnp.float32), regression.astype(jnp.float32)
 
 
+def eval_output_for(config: FrameworkConfig) -> str:
+    """The model `eval_output` matching EvalConfig.postprocess.
+
+    Every eval caller that pairs `model.apply(train=False)` with
+    `decode_detections` must pass `eval_output=eval_output_for(cfg)` so the
+    heads emit the layout the configured postprocess expects (probs for
+    dense/pooled, logits for pooled_logits, class-major logits for
+    pooled_chanlast — the measured default, see EvalConfig.postprocess).
+    """
+    return {
+        "pooled_logits": "logits", "pooled_chanlast": "logits_chanlast",
+    }.get(config.eval.postprocess, "probs")
+
+
 def image_anchors(config: FrameworkConfig) -> jnp.ndarray:
     """Anchors for the configured static geometry — a compile-time constant."""
     geo = config.geometry
@@ -189,6 +203,18 @@ def decode_detections(
     geo, ev = config.geometry, config.eval
     if anchors is None:
         anchors = image_anchors(config)
+    # Trace-time wiring check: the classification layout must match the
+    # configured postprocess (a model called without the matching
+    # eval_output_for(config) would otherwise decode garbage silently).
+    a = anchors.shape[0]
+    anchor_dim = 2 if ev.postprocess == "pooled_chanlast" else 1
+    if classification.shape[anchor_dim] != a:
+        raise ValueError(
+            f"classification shape {classification.shape} does not put the "
+            f"anchor dim ({a}) at axis {anchor_dim} as postprocess="
+            f"{ev.postprocess!r} requires; call the model with "
+            "eval_output=eval_output_for(config)"
+        )
     if ev.postprocess != "dense":
         # Pool-first decode: per-class score top-k, then decode/clip only the
         # pooled candidates (bitwise-identical; core/nms.py for the argument).

@@ -64,9 +64,12 @@ def test_full_stack(fixture, tmp_path):
     model, state = trainer.model, trainer.state
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    from frn_tpu.models.detector import eval_output_for
+
     @jax.jit
     def infer(rgb, event):
-        cls, reg = model.apply(variables, rgb, event, train=False)
+        cls, reg = model.apply(variables, rgb, event, train=False,
+                               eval_output=eval_output_for(cfg))
         return decode_detections(cls, reg, cfg)
 
     res = evaluate_dataset(ds, infer, cfg, batch_size=2)

@@ -193,7 +193,12 @@ def test_detector_forward_shapes(variant, geo):
     # prior-bias init: background prob ~0.01 everywhere at init
     assert 0.005 < float(jnp.mean(cls)) < 0.02
 
-    s, l, b = decode_detections(cls, reg, cfg)
+    # probs output pairs with the dense postprocess (the pooled default takes
+    # chanlast logits via eval_output_for(cfg))
+    cfg_dense = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, postprocess="dense")
+    )
+    s, l, b = decode_detections(cls, reg, cfg_dense)
     m = cfg.eval.max_detections
     assert s.shape == (1, m) and l.shape == (1, m) and b.shape == (1, m, 4)
 

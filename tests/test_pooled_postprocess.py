@@ -154,7 +154,8 @@ def test_end_to_end_model_fast_path_matches_dense(postprocess):
         geometry=geo,
         model=ModelConfig(variant="fusion", depth=18, feature_size=32,
                           num_classes=3, compute_dtype="bfloat16"),
-        eval=EvalConfig(per_class_topk=32, max_detections=10, approx_topk=False),
+        eval=EvalConfig(per_class_topk=32, max_detections=10, approx_topk=False,
+                        postprocess="dense"),  # explicit dense baseline
     )
     model, variables = init_detector(base, jax.random.PRNGKey(0), batch_size=1)
     rng = np.random.default_rng(3)

@@ -330,7 +330,13 @@ def test_dsec_fusion_eval_detections_match(ref_model_module):
     assert 0 < len(scores_t) <= 90, f"calibration failed: {len(scores_t)} dets"
     assert float(np.max(scores_t)) < 0.999
 
-    cls, reg = model.apply(variables, jnp.asarray(rgb), jnp.asarray(event), train=False)
+    # exercise the production default postprocess (pooled_chanlast) end to end
+    from frn_tpu.models.detector import eval_output_for
+
+    cls, reg = model.apply(
+        variables, jnp.asarray(rgb), jnp.asarray(event), train=False,
+        eval_output=eval_output_for(cfg),
+    )
     scores, labels, boxes = jax.tree_util.tree_map(
         np.asarray, decode_detections(cls, reg, cfg)
     )

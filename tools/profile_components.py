@@ -12,7 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
-from frn_tpu.models.detector import decode_detections, image_anchors, init_detector
+from frn_tpu.models.detector import (
+    decode_detections,
+    eval_output_for,
+    image_anchors,
+    init_detector,
+)
 from frn_tpu.models.fusion import REFusion
 from frn_tpu.models.resnet import ResNetBackbone
 
@@ -55,7 +60,8 @@ def main():
     # full model
     @jax.jit
     def full(v, a, rgb, event):
-        cls, reg = model.apply(v, rgb, event, train=False)
+        cls, reg = model.apply(v, rgb, event, train=False,
+                               eval_output=eval_output_for(cfg))
         return decode_detections(cls, reg, cfg, anchors=a)
 
     @jax.jit
@@ -97,15 +103,20 @@ def main():
 
     t_f2 = timeit("REFusion stage2 (60x80)", fusion2, fv2, c2, c2)
 
-    # nms alone
-    cls_probs = jnp.asarray(rng.uniform(0, 0.2, (BATCH, 230220, 3)), jnp.float32)
+    # nms alone (production postprocess: pooled_chanlast takes (B, K, A) logits)
+    if cfg.eval.postprocess == "pooled_chanlast":
+        cls_in = jnp.asarray(
+            rng.normal(-4, 2, (BATCH, 3, 230220)), jnp.bfloat16
+        )
+    else:
+        cls_in = jnp.asarray(rng.uniform(0, 0.2, (BATCH, 230220, 3)), jnp.float32)
     regs = jnp.asarray(rng.normal(0, 0.5, (BATCH, 230220, 4)), jnp.float32)
 
     @jax.jit
     def nms_only(a, c, r):
         return decode_detections(c, r, cfg, anchors=a)
 
-    t_nms = timeit("decode+nms only", nms_only, anchors, cls_probs, regs)
+    t_nms = timeit("decode+nms only", nms_only, anchors, cls_in, regs)
 
     print(f"\nestimates: 2 backbones {2 * t_bb * 1e3:.1f} ms, "
           f"fusion total ~{(t_f1 + t_f2) * 1e3 * 1.1:.1f} ms, "

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
-from frn_tpu.models.detector import decode_detections, image_anchors, init_detector
+from frn_tpu.models.detector import (
+    decode_detections,
+    eval_output_for,
+    image_anchors,
+    init_detector,
+)
 from frn_tpu.models.fpn import PyramidFeatures
 from frn_tpu.models.heads import ClassificationHead, RegressionHead, apply_heads
 from frn_tpu.ops.flash_attention import _flash_forward
@@ -124,7 +129,8 @@ def main():
 
         @jax.jit
         def infer(v, a, rgb, event):
-            c, r = model.apply(v, rgb, event, train=False)
+            c, r = model.apply(v, rgb, event, train=False,
+                               eval_output=eval_output_for(cfg))
             return decode_detections(c, r, cfg, anchors=a)
 
         rgb = jnp.asarray(rng.normal(0, 1, (batch, 480, 640, 3)), jnp.float32)
