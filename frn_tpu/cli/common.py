@@ -48,6 +48,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--depth", type=int, default=50, choices=[18, 34, 50])
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--feature_size", type=int, default=256)
+    p.add_argument(
+        "--attention_quant", default=None, choices=["int8_qk", "int8"],
+        help="int8 attention serving mode (inference only; TPU MXU 2x rate). "
+        "Default off = exact bf16 kernel; agreement/mAP deltas measured in "
+        "tools/bench_int8.py and tools/run_int8_map_delta.sh.",
+    )
 
 
 def geometry_from_args(args, num_classes: Optional[int] = None):
@@ -81,6 +87,7 @@ def build_config(args, num_classes: int, batch_size: int, epochs: Optional[int] 
             num_classes=num_classes,
             compute_dtype=args.compute_dtype,
             feature_size=getattr(args, "feature_size", 256),
+            attention_quant=getattr(args, "attention_quant", None),
         ),
         train=TrainConfig(
             batch_size=batch_size,

@@ -56,6 +56,13 @@ def get_parser() -> argparse.ArgumentParser:
         " Record runs default to the exact pool.",
     )
     p.add_argument(
+        "--exact_pool", default=None, choices=["two_stage", "radix"],
+        help="exact candidate-pool algorithm when --approx_topk is NOT given "
+        "(EvalConfig.exact_pool). Both are provably identical to lax.top_k "
+        "including tie order; 'radix' replaces block sorts with bit-prefix "
+        "counting passes. Default: config default.",
+    )
+    p.add_argument(
         "--postprocess", default=None,
         choices=["dense", "pooled", "pooled_logits", "pooled_chanlast"],
         help="eval postprocess pipeline shape (EvalConfig.postprocess): dense "
@@ -117,6 +124,11 @@ def main(argv=None):
             **(
                 {"postprocess": args.postprocess}
                 if args.postprocess is not None
+                else {}
+            ),
+            **(
+                {"exact_pool": args.exact_pool}
+                if args.exact_pool is not None
                 else {}
             ),
         ),

@@ -138,6 +138,15 @@ class ModelConfig:
     # bf16 roundoff (tests/test_flash_attention.py). Inference-path only (the
     # bf16-exp forward defines no VJP); training always uses the f32-exp kernel.
     flash_exp_bf16: bool = False
+    # int8 attention serving mode (inference-path only; training always runs
+    # the bf16/f32 kernel). The v5e MXU runs int8 at 2x the bf16 rate and the
+    # d=32 attention geometry is padded-FLOP bound on both matmuls
+    # (PARITY.md speed-of-light), so int8 halves the structural floor.
+    # Dynamic per-slice quantization, no calibration data needed:
+    #   'int8_qk'  QK^T on the int8 MXU path (softmax weights + PV bf16-exact)
+    #   'int8'     QK^T and PV both int8 (softmax weights round to 1/127 steps)
+    # None (default) = exact bf16 kernel; parity/record runs keep the default.
+    attention_quant: Optional[str] = None
 
     @property
     def block_layers(self) -> Tuple[int, ...]:
@@ -161,6 +170,12 @@ class EvalConfig:
     # TPU-optimized approximate candidate selection (recall 0.997 @ k=400/230k
     # anchors, 3.5x faster than exact sort); False = exact lax.top_k.
     approx_topk: bool = True
+    # Exact-pool algorithm when approx_topk=False (both provably == lax.top_k,
+    # tie order included — tests/test_nms_delta.py):
+    #   'two_stage'  per-block lax.top_k then top-k of block winners
+    #   'radix'      bit-prefix threshold select (core/nms.radix_select_topk) —
+    #                bandwidth-bound counting passes instead of block sorts
+    exact_pool: str = "two_stage"
     # Postprocess pipeline shape (all produce the same detections; see
     # core/nms.py pooled_class_aware_nms for the exactness argument):
     #   'dense'           decode+clip all anchors, then NMS (reference order)

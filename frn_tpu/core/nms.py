@@ -107,6 +107,116 @@ def exact_topk_two_stage(
     return top_vals, flat_idx[pos]
 
 
+def radix_select_topk(
+    s: jnp.ndarray, k: int, chunk: int = 4, block_len: int = 512
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k — values, indices, and tie order identical to jax.lax.top_k —
+    without sorting anything O(A)-sized.
+
+    The CLAUDE.md round-4 "radix-select" lever: the per-class NMS candidate
+    pool only needs the k-th largest score (a threshold) plus the elements
+    above it; a sort computes a total order nobody reads. Three phases, all
+    bandwidth-bound elementwise passes:
+
+    1. *Threshold descent*: map scores to an order-isomorphic unsigned integer
+       key (sign-flip trick; -0.0 canonicalized to +0.0 so key equality ==
+       value equality, matching top_k's value ties). Walk the key's bits
+       `chunk` at a time, high to low: one fused compare+reduce pass counts
+       `count_ge(prefix | j << shift)` for all 2^chunk candidate prefixes at
+       once, and the largest j with count >= k extends the prefix. After
+       bits/chunk passes the prefix IS the exact k-th largest key T
+       (invariant: count_ge(prefix) >= k and count_ge(prefix + 2^shift) < k).
+    2. *Extraction*: elements with key > T are all in the top-k (< k of them,
+       by maximality of T); ties at key == T fill the remainder in ascending
+       index order — exactly lax.top_k's tie rule. Per-block counts of both
+       masks + a tiny cumsum over blocks locate each output rank's block; one
+       (k, block_len) row gather + a small intra-row cumsum finds its offset.
+       No O(A) cumsum, no scatter.
+    3. *Ordering*: lax.top_k over the k survivors only. The pool is laid out
+       all->gt (ascending index) then ties (ascending index), so the small
+       sort's stable tie-break reproduces the global order.
+
+    bf16 inputs use a 16-bit key; f32 a 32-bit key. Other dtypes fall back to
+    lax.top_k. NaNs are undefined behavior, as for lax.top_k itself.
+
+    chunk trades passes against per-pass compare width (bits/chunk passes x
+    2^chunk bounds): chunk=8 measured 132.3 img/s in the full-graph b16
+    pooled_chanlast exact A/B (the 256-bound compare+count pass dominates);
+    chunk=4 does 8x less compare work over 2x the passes.
+    """
+    a = s.shape[0]
+    if k >= a:
+        return jax.lax.top_k(s, k)
+    if s.dtype == jnp.bfloat16:
+        bits, udtype, sign = 16, jnp.uint16, 0x8000
+    elif s.dtype == jnp.float32:
+        bits, udtype, sign = 32, jnp.uint32, 0x80000000
+    else:
+        return jax.lax.top_k(s, k)
+    assert bits % chunk == 0, (bits, chunk)
+    sign = jnp.asarray(sign, udtype)
+
+    def key_of(x):
+        u = jax.lax.bitcast_convert_type(x, udtype)
+        u = jnp.where(u == sign, jnp.zeros_like(u), u)  # -0.0 -> +0.0
+        return jnp.where(u >= sign, ~u, u | sign)
+
+    key = key_of(s)  # (a,) unsigned, descending order == descending score
+
+    # Phase 1: bit-prefix descent to the exact k-th largest key.
+    j = jnp.arange(1 << chunk, dtype=udtype)
+    prefix = jnp.zeros((), udtype)
+    for shift in range(bits - chunk, -1, -chunk):
+        bounds = prefix | (j << shift)  # (2^chunk,)
+        counts = jnp.sum(
+            (key[:, None] >= bounds[None, :]).astype(jnp.int32), axis=0
+        )  # (2^chunk,) — monotone non-increasing in j; counts[0] >= k invariant
+        m = (jnp.sum((counts >= k).astype(jnp.int32)) - 1).astype(udtype)
+        prefix = prefix | (m << shift)
+    thr = prefix
+
+    # Phase 2: extract the > thr elements and the first (k - m_gt) == thr ties.
+    nb = -(-a // block_len)
+    pad = nb * block_len - a
+    keyp = jnp.pad(key, (0, pad)).reshape(nb, block_len)
+    valid = (jnp.arange(nb * block_len) < a).reshape(nb, block_len)
+    gt2 = (keyp > thr) & valid
+    eq2 = (keyp == thr) & valid
+    cgt = jnp.sum(gt2.astype(jnp.int32), axis=1)  # (nb,)
+    ceq = jnp.sum(eq2.astype(jnp.int32), axis=1)
+    igt = jnp.cumsum(cgt)
+    ieq = jnp.cumsum(ceq)
+    m_gt = igt[-1]
+
+    r = jnp.arange(k, dtype=jnp.int32)
+    is_gt = r < m_gt
+    rank = jnp.where(is_gt, r, r - m_gt)  # 0-based rank within its stream
+    blk = jnp.where(
+        is_gt,
+        jnp.searchsorted(igt, rank + 1, side="left"),
+        jnp.searchsorted(ieq, rank + 1, side="left"),
+    ).astype(jnp.int32)
+    blk = jnp.minimum(blk, nb - 1)
+    excl = jnp.where(is_gt, igt[blk] - cgt[blk], ieq[blk] - ceq[blk])
+    local_rank = rank - excl  # 0-based within the block
+    rows = jnp.where(is_gt[:, None], gt2[blk], eq2[blk])  # (k, block_len)
+    pcs = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    loc = jnp.sum((pcs <= local_rank[:, None]).astype(jnp.int32), axis=1)
+    idx = jnp.minimum(blk * block_len + loc, a - 1)
+
+    # Phase 3: order the k survivors (gt ascending-index, then ties
+    # ascending-index — top_k's stable tie-break preserves the global order).
+    vals, order = jax.lax.top_k(s[idx], k)
+    return vals, idx[order]
+
+
+def _exact_pool_topk(s: jnp.ndarray, k: int, method: str, nonnegative: bool = False):
+    """Dispatch the exact candidate-pool top-k (EvalConfig.exact_pool)."""
+    if method == "radix":
+        return radix_select_topk(s, k)
+    return exact_topk_two_stage(s, k, nonnegative=nonnegative)
+
+
 def class_aware_nms(
     boxes: jnp.ndarray,  # (A, 4) decoded+clipped boxes (shared across classes)
     scores: jnp.ndarray,  # (A, K) per-class sigmoid scores
@@ -115,6 +225,7 @@ def class_aware_nms(
     per_class_topk: int = 400,
     max_detections: int = 100,
     approx_topk: bool = True,
+    exact_pool: str = "two_stage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-class hard NMS then global top-k.
 
@@ -136,7 +247,7 @@ def class_aware_nms(
             vals, idx = jax.lax.approx_max_k(s, t, recall_target=0.99)
         else:
             # s is where(.. > thr, scores, 0.0) -> provably nonnegative, no -0.0
-            vals, idx = exact_topk_two_stage(s, t, nonnegative=True)  # == lax.top_k
+            vals, idx = _exact_pool_topk(s, t, exact_pool, nonnegative=True)
         b = boxes[idx]
         keep = greedy_nms_mask(b, vals, iou_threshold)
         return jnp.where(keep, vals, 0.0), b
@@ -175,6 +286,7 @@ def pooled_class_aware_nms(
     approx_topk: bool = True,
     logits: bool = False,
     class_major: bool = False,
+    exact_pool: str = "two_stage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """class_aware_nms that decodes ONLY the pooled candidates.
 
@@ -213,7 +325,7 @@ def pooled_class_aware_nms(
             if approx_topk:
                 vals, idx = jax.lax.approx_max_k(s, t, recall_target=0.99)
             else:
-                vals, idx = exact_topk_two_stage(s, t)
+                vals, idx = _exact_pool_topk(s, t, exact_pool)
             pool_scores = jnp.where(
                 vals > jnp.asarray(lo, vals.dtype),
                 jax.nn.sigmoid(vals.astype(jnp.float32)),
@@ -224,7 +336,7 @@ def pooled_class_aware_nms(
             if approx_topk:
                 vals, idx = jax.lax.approx_max_k(s, t, recall_target=0.99)
             else:
-                vals, idx = exact_topk_two_stage(s, t, nonnegative=True)
+                vals, idx = _exact_pool_topk(s, t, exact_pool, nonnegative=True)
             pool_scores = vals.astype(jnp.float32)
         b = decode_boxes(anchors[idx], deltas[idx].astype(jnp.float32), std=std)
         b = clip_boxes(b, image_shape)
@@ -266,12 +378,14 @@ def pooled_detection_postprocess(
     approx_topk: bool = True,
     logits: bool = False,
     class_major: bool = False,
+    exact_pool: str = "two_stage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """vmap of pooled_class_aware_nms over the batch: (B,M), (B,M), (B,M,4)."""
     return jax.vmap(
         lambda d, s: pooled_class_aware_nms(
             anchors, d, s, image_shape, std, score_threshold, iou_threshold,
             per_class_topk, max_detections, approx_topk, logits, class_major,
+            exact_pool,
         )
     )(deltas, scores)
 
@@ -284,11 +398,12 @@ def batched_detection_postprocess(
     per_class_topk: int = 400,
     max_detections: int = 100,
     approx_topk: bool = True,
+    exact_pool: str = "two_stage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """vmap of class_aware_nms over the batch: (B,M), (B,M), (B,M,4)."""
     return jax.vmap(
         lambda b, s: class_aware_nms(
             b, s, score_threshold, iou_threshold, per_class_topk, max_detections,
-            approx_topk,
+            approx_topk, exact_pool,
         )
     )(boxes, scores)

@@ -88,8 +88,9 @@ class FRNDetector(nn.Module):
             fused = tuple(
                 REFusion(
                     channels=c, chunk=mc.attention_chunk, dtype=dtype,
-                    # bf16-exp flash softmax: inference only (no VJP)
+                    # bf16-exp flash softmax + int8 quant: inference only (no VJP)
                     exp_bf16=mc.flash_exp_bf16 and not train,
+                    quant=mc.attention_quant if not train else None,
                     name=f"fus_{i}",
                 )(e, r)  # (event, rgb) order per model.py:305-308
                 for i, (c, e, r) in enumerate(zip(stage_channels, evt_feats, rgb_feats))
@@ -235,6 +236,7 @@ def decode_detections(
             approx_topk=ev.approx_topk,
             logits=ev.postprocess in ("pooled_logits", "pooled_chanlast"),
             class_major=ev.postprocess == "pooled_chanlast",
+            exact_pool=ev.exact_pool,
         )
     boxes = decode_boxes(anchors, regression, std=config.box_coder.std)
     boxes = clip_boxes(boxes, (geo.height, geo.width))
@@ -246,6 +248,7 @@ def decode_detections(
         per_class_topk=ev.per_class_topk,
         max_detections=ev.max_detections,
         approx_topk=ev.approx_topk,
+        exact_pool=ev.exact_pool,
     )
 
 

@@ -50,6 +50,7 @@ class CrossAttentionBlock(nn.Module):
     chunk: int = 1024
     dtype: Optional[jnp.dtype] = None
     exp_bf16: bool = False  # inference-only flash softmax option (config.py)
+    quant: Optional[str] = None  # inference-only int8 attention (config.py)
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +65,7 @@ class CrossAttentionBlock(nn.Module):
         hw = h * w
         y = nonlocal_attention(
             g.reshape(b, hw, c8), theta.reshape(b, hw, c8), phi.reshape(b, hw, c8),
-            chunk=self.chunk, exp_bf16=self.exp_bf16,
+            chunk=self.chunk, exp_bf16=self.exp_bf16, quant=self.quant,
         )
         # replicate the reference's (B,HW,C8)->(B,C8,H,W) view (Attention.py:32)
         y = reference_view_to_nhwc(y, h, w)
@@ -86,6 +87,7 @@ class REFusion(nn.Module):
     chunk: int = 1024
     dtype: Optional[jnp.dtype] = None
     exp_bf16: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -104,11 +106,11 @@ class REFusion(nn.Module):
         b1 = b0 + mul
 
         y_a = CrossAttentionBlock(
-            self.channels, self.chunk, self.dtype, self.exp_bf16,
+            self.channels, self.chunk, self.dtype, self.exp_bf16, self.quant,
             name="rgb_cross_attention",
         )(a1, b1)
         y_b = CrossAttentionBlock(
-            self.channels, self.chunk, self.dtype, self.exp_bf16,
+            self.channels, self.chunk, self.dtype, self.exp_bf16, self.quant,
             name="event_cross_attention",
         )(b1, a1)
         return jnp.concatenate([y_a, y_b], axis=-1)

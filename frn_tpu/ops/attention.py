@@ -32,8 +32,14 @@ def nonlocal_attention(
     phi: jnp.ndarray,  # (B, HW, C8) queries, from the style stream x1
     chunk: int = 1024,
     exp_bf16: bool = False,  # inference-only bf16-exp softmax weights
+    quant: str | None = None,  # inference-only int8 mode ('int8' | 'int8_qk')
 ) -> jnp.ndarray:
-    """softmax(phi . theta^T) . g -> (B, HW, C8). No 1/sqrt(d) scaling (matches ref)."""
+    """softmax(phi . theta^T) . g -> (B, HW, C8). No 1/sqrt(d) scaling (matches ref).
+
+    quant selects the int8 serving kernel (ModelConfig.attention_quant) where
+    the flash path applies; calls below FLASH_MIN_TOKENS or off-TPU run the
+    exact dense route regardless (stage-3/4 attention is a negligible share).
+    """
     b, hw, c8 = g.shape
 
     # The Pallas kernel reserves one of the 128 lanes for the key-padding bias
@@ -50,9 +56,12 @@ def nonlocal_attention(
             flash_attention_available,
             flash_nonlocal_attention,
             flash_nonlocal_attention_bf16exp,
+            flash_nonlocal_attention_int8,
         )
 
         if flash_attention_available():
+            if quant:
+                return flash_nonlocal_attention_int8(g, theta, phi, mode=quant)
             if exp_bf16:
                 return flash_nonlocal_attention_bf16exp(g, theta, phi)
             return flash_nonlocal_attention(g, theta, phi)

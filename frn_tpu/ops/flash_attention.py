@@ -507,3 +507,196 @@ def flash_attention_available() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+# ------------------------------------------------------- int8 serving kernel
+#
+# Opt-in inference mode (ModelConfig.attention_quant): the v5e MXU runs int8
+# matmuls at 2x the bf16 rate, and PARITY.md's speed-of-light analysis shows
+# the d=32 attention geometry is PADDED-FLOP bound on both matmuls — so int8
+# halves the structural floor that no bf16 reformulation can escape.
+#
+# Quantization is DYNAMIC per (batch*direction) slice — no calibration data:
+#   Qi = round(Q/sq * 127), sq = max|Q|  (same for K, and V in 'int8' mode)
+#   S  = (Qi Ki^T) * c,  c = sq*sk/127^2   (exact dequant before the softmax)
+# 'int8_qk' quantizes only the QK^T matmul (softmax weights and PV stay
+# bf16-exact); 'int8' additionally quantizes P (round(p*127), exact at the
+# row max since p<=1) and V. The softmax denominator rides lane d of V as in
+# the bf16 kernel, carrying 127 so the P-quantization noise cancels between
+# numerator and denominator (out = acc/acc_ones * 127*sv).
+#
+# Padded-key masking: int8 can't carry the NEG_INF bias lane, so the kernel
+# masks by column iota (one broadcast add per tile, emitted only when the
+# token count actually needs padding).
+
+
+def _flash_int8_kernel(block_k, num_k, d_ones, n_real, full_int8, need_mask,
+                       scale_ref, q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    c = scale_ref[0, 0]  # sq*sk/127^2 dequant scale for this batch slice
+    s_int = jax.lax.dot_general(
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (BQ, BK) int32 — MXU int8 path
+    s = s_int.astype(jnp.float32) * c
+    if need_mask:
+        col = k_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1
+        )
+        s = s + jnp.where(col < n_real, 0.0, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    if full_int8:
+        # p <= 1 exactly (s <= m_new), so round(p*127) fits int8 with no clamp;
+        # the dominant near-max weights quantize to 127 +- 0.5
+        p_q = jnp.round(p * 127.0).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p_q, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    alpha = jnp.exp(m_prev - m_new)
+    acc = acc_scr[:] * alpha + pv
+    acc_scr[:] = acc
+    m_scr[:] = m_new
+
+    @pl.when(k_idx == num_k - 1)
+    def _finalize():
+        l = acc[:, d_ones:d_ones + 1]  # rowsum of the EFFECTIVE (quantized) p
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "block_q", "block_k", "vmem_limit_mb", "interpret"),
+)
+def _flash_forward_int8(
+    q: jnp.ndarray,  # (B, N, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mode: str = "int8",  # 'int8' (QK^T + PV) | 'int8_qk' (QK^T only)
+    block_q: int = 1024,
+    block_k: int = 1024,
+    vmem_limit_mb: int = 0,
+    interpret: bool = False,
+):
+    b, n, d = q.shape
+    assert d < LANE, f"head dim {d} needs a free denominator lane (< {LANE})"
+    assert mode in ("int8", "int8_qk"), mode
+    full = mode == "int8"
+    n_pad, num_q, num_k = _pad_shapes(n, block_q, block_k)
+    f32 = jnp.float32
+
+    def quantize(x):
+        s = jnp.max(jnp.abs(x.astype(f32)), axis=(1, 2), keepdims=True)
+        s = jnp.maximum(s, jnp.asarray(1e-30, f32))
+        xi = jnp.round(x.astype(f32) * (127.0 / s)).astype(jnp.int8)
+        return xi, s[:, 0, 0]  # (B, N, D) int8, (B,)
+
+    qi, sq = quantize(q)
+    ki, sk = quantize(k)
+    scales = (sq * sk * (1.0 / (127.0 * 127.0))).reshape(b, 1)  # (B, 1) f32
+
+    qp = _pad_to(_pad_to(qi, LANE, 2), n_pad, 1)
+    kp = _pad_to(_pad_to(ki, LANE, 2), n_pad, 1)
+    d_ones = d
+    if full:
+        vi, sv = quantize(v)
+        vp = _pad_to(_pad_to(vi, LANE, 2), n_pad, 1)
+        # denominator lane: 127 on real V rows so acc_ones = sum(P_int * 127);
+        # the matching 127*sv dequant happens after the kernel
+        vp = vp.at[:, :n, d_ones].set(jnp.asarray(127, jnp.int8))
+    else:
+        vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
+        vp = vp.at[:, :n, d_ones].set(jnp.asarray(1.0, vp.dtype))
+
+    kernel = functools.partial(
+        _flash_int8_kernel, block_k, num_k, d_ones, n, full, n_pad > n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b_, q_, k_: (b_, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, LANE), lambda b_, q_, k_: (b_, q_, 0)),
+            pl.BlockSpec((1, block_k, LANE), lambda b_, q_, k_: (b_, k_, 0)),
+            pl.BlockSpec((1, block_k, LANE), lambda b_, q_, k_: (b_, k_, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, LANE), lambda b_, q_, k_: (b_, q_, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, LANE), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), f32),
+            pltpu.VMEM((block_q, LANE), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **(
+                {"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+                if vmem_limit_mb
+                else {}
+            ),
+        ),
+        interpret=interpret,
+    )(scales, qp, kp, vp)
+    o = out[:, :n, :d]
+    if full:
+        # out = acc/acc_ones = sum(P_int V_int) / (127 sum(P_int)); with
+        # V = V_int*sv/127, true o = sum(P_int V)/sum(P_int) = out * sv
+        o = (o.astype(f32) * sv[:, None, None]).astype(q.dtype)
+    return o
+
+
+def quantized_attention_reference(g, theta, phi, mode: str = "int8"):
+    """Dense jnp simulation of the int8 kernel's quantization algebra.
+
+    The exactness oracle for `_flash_forward_int8` (bitwise-matching rounding
+    when a single k block covers all keys) and the CPU stand-in for measuring
+    detection agreement of the quantized serving mode without TPU hardware.
+    """
+    f32 = jnp.float32
+
+    def quantize(x):
+        s = jnp.maximum(jnp.max(jnp.abs(x.astype(f32)), axis=(1, 2), keepdims=True), 1e-30)
+        return jnp.round(x.astype(f32) * (127.0 / s)).astype(jnp.int8), s
+
+    qi, sq = quantize(phi)
+    ki, sk = quantize(theta)
+    s = jnp.einsum("bqc,bkc->bqk", qi.astype(jnp.int32), ki.astype(jnp.int32)).astype(f32)
+    s = s * (sq * sk.transpose(0, 2, 1) * (1.0 / (127.0 * 127.0)))
+    if mode == "int8_qk":
+        attn = jax.nn.softmax(s, axis=-1).astype(g.dtype)
+        return jnp.einsum(
+            "bqk,bkc->bqc", attn, g, preferred_element_type=f32
+        ).astype(g.dtype)
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    p_q = jnp.round(p * 127.0)  # int8 values, kept f32 for the einsum
+    vi, sv = quantize(g)
+    num = jnp.einsum("bqk,bkc->bqc", p_q, vi.astype(f32))
+    den = jnp.sum(p_q, axis=-1, keepdims=True)
+    return ((num / den) * (sv / 127.0)).astype(g.dtype)
+
+
+def flash_nonlocal_attention_int8(g, theta, phi, mode: str = "int8"):
+    """Inference-only int8 softmax(phi . theta^T) . g (no VJP defined).
+
+    Gated by ModelConfig.attention_quant; exactness vs the dense simulation and
+    agreement bounds vs the f32 path are pinned in tests/test_flash_attention.py.
+    """
+    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
+    return _flash_forward_int8(
+        phi, theta, g, mode=mode, block_q=bq, block_k=bk, vmem_limit_mb=mb
+    )

@@ -244,3 +244,99 @@ def test_exact_topk_two_stage_block_counts():
         got_v, got_i = exact_topk_two_stage(s, 400, num_blocks=nb)
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_radix_select_topk_matches_lax_topk_f32():
+    """radix_select_topk must be value- AND tie-order-identical to jax.lax.top_k
+    (incl. which tie indices are selected at the k-th boundary)."""
+    from frn_tpu.core.nms import radix_select_topk
+
+    rng = np.random.default_rng(21)
+    cases = []
+    # random scores at anchor-scale length
+    cases.append(rng.uniform(0, 1, 230220).astype(np.float32))
+    # adversarial ties straddling the k-th boundary
+    cases.append(rng.choice([0.0, 0.1, 0.5, 0.9], size=50001).astype(np.float32))
+    # sparse: mostly threshold-masked zeros (ties at zero dominate the pool)
+    sparse = np.zeros(230220, np.float32)
+    hot = rng.choice(230220, 250, replace=False)
+    sparse[hot] = rng.uniform(0.05, 1.0, 250)
+    cases.append(sparse)
+    # all elements identical (pure tie selection)
+    cases.append(np.full(9000, 0.25, np.float32))
+    # negatives + sentinel floods (the logits path shape)
+    logit = np.full(68490, -3.4e38, np.float32)
+    hot = rng.choice(68490, 800, replace=False)
+    logit[hot] = rng.normal(0, 4, 800).astype(np.float32)
+    cases.append(logit)
+    # -0.0 vs +0.0 must tie by index, not by bit pattern
+    zz = rng.choice([-0.0, 0.0, 1.0], size=4097).astype(np.float32)
+    cases.append(zz)
+    # length == k -> falls back to plain top_k
+    cases.append(rng.uniform(0, 1, 400).astype(np.float32))
+
+    for s in cases:
+        for k in (400, 100):
+            want_v, want_i = jax.lax.top_k(jnp.asarray(s), k)
+            got_v, got_i = radix_select_topk(jnp.asarray(s), k)
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_radix_select_topk_matches_lax_topk_bf16():
+    """bf16 (the pooled_chanlast logits dtype): massive value collisions are
+    guaranteed (8-bit mantissa over 230k anchors); tie order must still match."""
+    from frn_tpu.core.nms import radix_select_topk
+
+    rng = np.random.default_rng(22)
+    cases = [
+        jnp.asarray(rng.normal(0, 3, 230220), jnp.bfloat16),
+        jnp.asarray(rng.choice([-2.0, -0.0, 0.0, 0.5], size=50001), jnp.bfloat16),
+        jnp.full((9000,), -1.25, jnp.bfloat16),
+    ]
+    # the real logits-path input: bf16 sentinel floor + a few live logits
+    live = np.full(230220, -3.4e38, np.float32)
+    hot = rng.choice(230220, 600, replace=False)
+    live[hot] = rng.normal(-3, 2, 600)
+    cases.append(jnp.asarray(live, jnp.bfloat16))
+
+    for s in cases:
+        for k in (400, 7):
+            want_v, want_i = jax.lax.top_k(s, k)
+            got_v, got_i = radix_select_topk(s, k)
+            np.testing.assert_array_equal(
+                np.asarray(got_v, np.float32), np.asarray(want_v, np.float32)
+            )
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_radix_select_topk_chunk_and_block_invariance():
+    from frn_tpu.core.nms import radix_select_topk
+
+    rng = np.random.default_rng(23)
+    s = jnp.asarray(rng.uniform(0, 1, 68490).astype(np.float32))
+    want_v, want_i = jax.lax.top_k(s, 400)
+    for chunk in (4, 8):
+        for bl in (128, 512, 1000):
+            got_v, got_i = radix_select_topk(s, 400, chunk=chunk, block_len=bl)
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_radix_pool_identical_detections():
+    """decode-level A/B: exact_pool='radix' must produce bit-identical
+    detections to exact_pool='two_stage' on a dense random score field."""
+    from frn_tpu.core.nms import pooled_detection_postprocess
+
+    rng = np.random.default_rng(24)
+    anchors = jnp.asarray(random_boxes(3000, rng=rng))
+    deltas = jnp.asarray(rng.normal(0, 0.2, (2, 3000, 4)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(-3, 1.5, (2, 3, 3000)), jnp.bfloat16)
+    outs = {}
+    for method in ("two_stage", "radix"):
+        outs[method] = pooled_detection_postprocess(
+            anchors, deltas, logits, (480, 640), approx_topk=False,
+            logits=True, class_major=True, exact_pool=method,
+        )
+    for a, b in zip(outs["two_stage"], outs["radix"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -155,6 +155,79 @@ def test_flash_exp2_matches_exp():
         np.asarray(lse_got), np.asarray(lse_base), atol=2e-4, rtol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["int8", "int8_qk"])
+def test_int8_kernel_matches_dense_sim_single_block(mode):
+    """With one k block covering all keys, the kernel's running max IS the
+    global max, so its quantization algebra must match the dense simulation
+    (quantized_attention_reference) exactly up to f32 reassociation."""
+    from frn_tpu.ops.flash_attention import (
+        _flash_forward_int8,
+        quantized_attention_reference,
+    )
+
+    rng = np.random.default_rng(55)
+    b, n, d = 2, 200, 32
+    g = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    want = np.asarray(quantized_attention_reference(g, th, ph, mode=mode))
+    got = np.asarray(
+        _flash_forward_int8(ph, th, g, mode=mode, block_q=128, block_k=256,
+                            interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int8_qk"])
+def test_int8_kernel_multiblock_padding_close_to_exact(mode):
+    """Multi-k-block with key padding: the iota mask must kill padded keys
+    (a broken mask gives padded columns score 0, often the row max — wildly
+    wrong outputs), and the quantized output must track the exact f32
+    attention within the dynamic-quantization error envelope."""
+    from frn_tpu.ops.flash_attention import _flash_forward_int8
+
+    rng = np.random.default_rng(56)
+    b, n, d = 2, 330, 32
+    g = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    want = np.asarray(_reference_attention(g, th, ph))
+    got = np.asarray(
+        _flash_forward_int8(ph, th, g, mode=mode, block_q=128, block_k=128,
+                            interpret=True)
+    )
+    # dynamic int8 quantization of N(0,1) inputs at d=32: score error std
+    # ~0.13 -> per-weight relative error ~15%; the weighted mean cancels most
+    # of it. These bounds are measured envelopes, not f32 tolerances.
+    err = np.abs(got - want)
+    assert err.max() < 0.35, err.max()
+    assert err.mean() < 0.03, err.mean()
+
+
+def test_int8_qk_exact_when_inputs_representable():
+    """When Q and K are exactly representable on the int8 grid (values on
+    max/127 steps), 'int8_qk' quantization is lossless and the kernel must
+    match the exact attention to f32 tolerance."""
+    from frn_tpu.ops.flash_attention import _flash_forward_int8
+
+    rng = np.random.default_rng(57)
+    b, n, d = 1, 260, 32
+    scale_q, scale_k = 0.031, 0.017
+    qi = rng.integers(-127, 128, (b, n, d)).astype(np.float32)
+    ki = rng.integers(-127, 128, (b, n, d)).astype(np.float32)
+    # force the max so the dynamic scale reproduces the grid exactly
+    qi[0, 0, 0], ki[0, 0, 0] = 127.0, -127.0
+    q = jnp.asarray(qi * scale_q)
+    k = jnp.asarray(ki * scale_k)
+    v = jnp.asarray(rng.normal(0, 1, (b, n, d)), jnp.float32)
+    want = np.asarray(_reference_attention(v, k, q))
+    got = np.asarray(
+        _flash_forward_int8(q, k, v, mode="int8_qk", block_q=128, block_k=128,
+                            interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
 def test_flash_exp_bf16_close_to_f32():
     """exp_bf16 computes the softmax weights from a bf16 (s - m): the dominant
     near-max weights see only bf16 roundoff (the PV matmul consumed bf16 p

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny geometry + depth-18 on CPU: validates every "
                     "variant traces/runs before burning TPU time")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run (default: all)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -87,14 +89,16 @@ def main():
         sync(out)
         return args.batch * args.iters / (time.perf_counter() - t0)
 
-    def cfg_for(postprocess="dense", stem=False, approx=True, exp_bf16=False):
+    def cfg_for(postprocess="dense", stem=False, approx=True, exp_bf16=False,
+                exact_pool="two_stage"):
         return dataclasses.replace(
             base,
             model=dataclasses.replace(
                 base.model, stem_kernel=stem, flash_exp_bf16=exp_bf16
             ),
             eval=dataclasses.replace(
-                base.eval, postprocess=postprocess, approx_topk=approx
+                base.eval, postprocess=postprocess, approx_topk=approx,
+                exact_pool=exact_pool,
             ),
         )
 
@@ -109,13 +113,19 @@ def main():
         ("exp_bf16", "dense", False, True),
         ("all", "pooled_chanlast", True, True),
     ]
+    only = set(args.only.split(",")) if args.only else None
     for name, post, stem, ebf16 in variants:
+        if only is not None and name not in only:
+            continue
         fps = measure(cfg_for(post, stem, exp_bf16=ebf16), outputs[post])
-        print(f"{name:18s} approx {fps:7.2f} img/s", flush=True)
+        print(f"{name:18s} approx     {fps:7.2f} img/s", flush=True)
         if args.exact:
-            fps_e = measure(cfg_for(post, stem, approx=False, exp_bf16=ebf16),
-                            outputs[post])
-            print(f"{name:18s} exact  {fps_e:7.2f} img/s", flush=True)
+            for pool in ("two_stage", "radix"):
+                fps_e = measure(
+                    cfg_for(post, stem, approx=False, exp_bf16=ebf16,
+                            exact_pool=pool),
+                    outputs[post])
+                print(f"{name:18s} exact/{pool:9s} {fps_e:7.2f} img/s", flush=True)
 
 
 if __name__ == "__main__":
