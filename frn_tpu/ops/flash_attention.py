@@ -539,7 +539,9 @@ def _flash_int8_kernel(block_k, num_k, d_ones, n_real, full_int8, need_mask,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    c = scale_ref[0, 0]  # sq*sk/127^2 dequant scale for this batch slice
+    # sq*sk/127^2 dequant scale for this batch slice; the whole (B,) scale
+    # vector rides SMEM as one block (Mosaic rejects sub-(8,128) blocked specs)
+    c = scale_ref[pl.program_id(0)]
     s_int = jax.lax.dot_general(
         q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -608,7 +610,7 @@ def _flash_forward_int8(
 
     qi, sq = quantize(q)
     ki, sk = quantize(k)
-    scales = (sq * sk * (1.0 / (127.0 * 127.0))).reshape(b, 1)  # (B, 1) f32
+    scales = (sq * sk * (1.0 / (127.0 * 127.0))).reshape(b)  # (B,) f32
 
     qp = _pad_to(_pad_to(qi, LANE, 2), n_pad, 1)
     kp = _pad_to(_pad_to(ki, LANE, 2), n_pad, 1)
@@ -630,7 +632,7 @@ def _flash_forward_int8(
         kernel,
         grid=(b, num_q, num_k),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b_, q_, k_: (b_, 0),
+            pl.BlockSpec((b,), lambda b_, q_, k_: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, LANE), lambda b_, q_, k_: (b_, q_, 0)),
             pl.BlockSpec((1, block_k, LANE), lambda b_, q_, k_: (b_, k_, 0)),
@@ -695,8 +697,9 @@ def flash_nonlocal_attention_int8(g, theta, phi, mode: str = "int8"):
 
     Gated by ModelConfig.attention_quant; exactness vs the dense simulation and
     agreement bounds vs the f32 path are pinned in tests/test_flash_attention.py.
+
+    Blocks stay 1024x1024 at every N: the bf16 picker's 4096 blocks LOSE for
+    int8 (v5e stage-1 probe 13.5/14.3 ms vs 11.5/12.1 at 1024 — the int8 score
+    tile shifts the VMEM/grid-parallelism balance the other way).
     """
-    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
-    return _flash_forward_int8(
-        phi, theta, g, mode=mode, block_q=bq, block_k=bk, vmem_limit_mb=mb
-    )
+    return _flash_forward_int8(phi, theta, g, mode=mode)
