@@ -25,7 +25,8 @@ import numpy as np
 A100_REFERENCE_FPS = 40.0  # assumed reference (batch-1 torch eval loop) throughput
 TARGET_MULTIPLIER = 5.0
 
-# batch sweep on v5e (round 2): b8 126.9, b16 135.9, b32 132.0 img/s
+# batch sweep on v5e at the pooled_chanlast default (round 3): b16 144.0,
+# b24 136.9, b32 137.8 — b16 is the optimum (round-2 dense sweep agreed)
 BATCH = int(os.environ.get("FRN_BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("FRN_BENCH_ITERS", "20"))
 DTYPE = os.environ.get("FRN_BENCH_DTYPE", "bfloat16")
