@@ -314,7 +314,14 @@ def pooled_class_aware_nms(
         import math as _math
 
         lo, hi = -3.4e38, 3.4e38  # finite sentinels keep approx_max_k happy
-        thr = float(_math.log(score_threshold / (1.0 - score_threshold)))
+        # log-odds of thresholds at/past the sigmoid's range have no finite
+        # logit; clamp to the sentinels (thr <= 0 keeps everything, >= 1 nothing)
+        if score_threshold <= 0.0:
+            thr = lo
+        elif score_threshold >= 1.0:
+            thr = hi
+        else:
+            thr = float(_math.log(score_threshold / (1.0 - score_threshold)))
         thr = jnp.asarray(thr, s_all.dtype)
     else:
         thr = jnp.asarray(score_threshold, s_all.dtype)

@@ -1,0 +1,355 @@
+"""Production serving engine: request batching over bucketed static shapes.
+
+The reference's only serving path is `visulize_fusion.py:47-131` (detect_image):
+load one image, forward at batch 1, filter score>0.5 on host — no batching, no
+concurrency, no latency accounting. On TPU, serving well is a *shape* problem:
+XLA compiles one executable per input shape, so a serving engine must map an
+unpredictable request stream onto a small, pre-compiled set of batch sizes.
+
+This engine implements the TPU-native pattern:
+
+  * **Batch buckets** — a fixed ladder of batch sizes (default 1/2/4/8/16).
+    Each bucket is one compiled executable (`warmup()` pre-compiles all of
+    them, so no request ever pays a compile). An incoming burst of k requests
+    runs at the smallest bucket >= k, padded with zeros; per-image postprocess
+    (decode + class-wise NMS, core/nms.py) is batch-independent, so padding
+    never changes a real request's detections (asserted in tests/test_serve.py).
+  * **Bounded batching delay** — the dispatcher coalesces requests for at most
+    `max_delay_ms` (0 = never wait: take what is queued and go). This is the
+    standard latency/throughput dial: delay 0 serves interactive traffic at
+    bucket-1 latency; a few ms amortizes dispatch overhead under load.
+  * **Single dispatcher thread** — TPUs execute one program at a time, so one
+    in-order dispatch queue is the truthful concurrency model; request
+    submission is thread-safe and returns a Future.
+  * **Host postprocess per request** — the device returns fixed-size
+    (scores, labels, boxes); the engine applies the serving score threshold
+    (reference uses 0.5 at visulize_fusion.py:105) and slices valid rows.
+
+The engine accepts pre-voxelized event grids (the reference's serving input,
+npz voxels at visulize_fusion.py:65-72) or raw event streams via
+`submit_events` (host voxelization + tanh normalization, dsec_data.py:347-387,
+:461-462 — the full events-in/detections-out path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from frn_tpu.config import FrameworkConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeOptions:
+    """Serving knobs (orthogonal to EvalConfig, which defines record-run eval)."""
+
+    # Batch-size ladder, ascending. Each entry is one compiled executable.
+    buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    # Max time the dispatcher waits to coalesce a batch once it holds >= 1
+    # request. 0 = never wait (lowest latency); a few ms trades latency for
+    # throughput under load.
+    max_delay_ms: float = 2.0
+    # Serving score threshold (reference: visulize_fusion.py:105 uses 0.5;
+    # eval record runs use EvalConfig.score_threshold=0.05).
+    score_threshold: float = 0.5
+    # Cap on detections returned per request (None = EvalConfig.max_detections).
+    max_detections: Optional[int] = None
+    # Bound on queued requests; submit raises queue.Full beyond it so overload
+    # fails fast instead of growing latency without bound.
+    max_queue: int = 256
+
+
+@dataclasses.dataclass
+class _Request:
+    rgb: np.ndarray
+    event: np.ndarray
+    future: Future
+    t_submit: float
+
+
+@dataclasses.dataclass(frozen=True)
+class Detections:
+    """Per-request result: valid rows only, score-descending."""
+
+    scores: np.ndarray  # (n,) float32
+    labels: np.ndarray  # (n,) int32
+    boxes: np.ndarray  # (n, 4) float32 [x1, y1, x2, y2]
+    latency_ms: float  # submit -> result, host wall clock
+    batch_size: int  # bucket the request rode in
+
+    def to_json(self, class_names: Sequence[str] = ()) -> List[Dict]:
+        out = []
+        for s, l, b in zip(self.scores, self.labels, self.boxes):
+            d = {"score": float(s), "class_id": int(l), "box": [float(v) for v in b]}
+            if class_names:
+                d["class"] = class_names[int(l)]
+            out.append(d)
+        return out
+
+
+class ServingEngine:
+    """Threaded request-batching inference engine over one jitted program.
+
+    Usage:
+        engine = ServingEngine(model, variables, config)
+        engine.start(); engine.warmup()
+        dets = engine.infer(rgb, event)          # sync
+        fut = engine.submit(rgb, event)          # async -> Future[Detections]
+        engine.stop()
+
+    Also usable as a context manager (start/stop).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        config: FrameworkConfig,
+        options: ServeOptions = ServeOptions(),
+    ):
+        if not options.buckets or list(options.buckets) != sorted(set(options.buckets)):
+            raise ValueError(f"buckets must be ascending and unique: {options.buckets}")
+        from frn_tpu.models.detector import (
+            decode_detections,
+            eval_output_for,
+            image_anchors,
+        )
+
+        self.config = config
+        self.options = options
+        self._variables = variables
+        self._anchors = jax.device_put(image_anchors(config))
+        eval_output = eval_output_for(config)
+
+        @jax.jit
+        def _infer(variables, anchors, rgb, event):
+            cls, reg = model.apply(
+                variables, rgb, event, train=False, eval_output=eval_output
+            )
+            return decode_detections(cls, reg, config, anchors=anchors)
+
+        self._infer_jit = _infer
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=options.max_queue
+        )
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = threading.Event()
+
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_padded_slots = 0
+        self._latencies_ms: "list[float]" = []  # bounded reservoir, newest-last
+        self._t_start = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "ServingEngine":
+        if self._thread is not None:
+            raise RuntimeError("engine already started")
+        self._stopping.clear()
+        self._t_start = time.perf_counter()
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        if self._thread is None:
+            return
+        self._stopping.set()
+        # wake the dispatcher; if the queue is momentarily full the dispatcher
+        # is draining it, so retry rather than block forever
+        while self._thread.is_alive():
+            try:
+                self._queue.put(None, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+        self._thread.join(timeout=timeout)
+        self._thread = None
+        # fail any requests still queued after shutdown
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.set_exception(RuntimeError("engine stopped"))
+
+    def __enter__(self) -> "ServingEngine":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def warmup(self) -> None:
+        """Compile every bucket's executable ahead of traffic."""
+        geo = self.config.geometry
+        for b in self.options.buckets:
+            rgb = np.zeros((b, geo.height, geo.width, 3), np.float32)
+            event = np.zeros((b, geo.height, geo.width, geo.event_channels), np.float32)
+            out = self._infer_jit(self._variables, self._anchors, rgb, event)
+            np.asarray(out[0])  # host fetch = the only reliable barrier (CLAUDE.md)
+
+    # -- request API ---------------------------------------------------------
+
+    def submit(self, rgb: np.ndarray, event: np.ndarray) -> "Future[Detections]":
+        """Enqueue one image. Thread-safe. Raises queue.Full on overload."""
+        geo = self.config.geometry
+        rgb = np.asarray(rgb, np.float32)
+        event = np.asarray(event, np.float32)
+        if rgb.shape != (geo.height, geo.width, 3):
+            raise ValueError(f"rgb shape {rgb.shape} != {(geo.height, geo.width, 3)}")
+        if event.shape != (geo.height, geo.width, geo.event_channels):
+            raise ValueError(
+                f"event shape {event.shape} != "
+                f"{(geo.height, geo.width, geo.event_channels)}"
+            )
+        if self._thread is None:
+            raise RuntimeError("engine not started")
+        fut: Future = Future()
+        self._queue.put_nowait(_Request(rgb, event, fut, time.perf_counter()))
+        return fut
+
+    def submit_events(
+        self,
+        x: np.ndarray,
+        y: np.ndarray,
+        t: np.ndarray,
+        p: np.ndarray,
+        rgb: np.ndarray,
+        normalize: bool = True,
+    ) -> "Future[Detections]":
+        """Full serving path: raw event stream + raw [0,1] RGB -> detections.
+
+        Host-voxelizes (native C++ kernel when built) with the reference's
+        nearest-bin semantics (dsec_data.py:347-387) and tanh normalization
+        (dsec_data.py:461-462); standardizes RGB with the dataset constants.
+        """
+        from frn_tpu.data.transforms import normalize_rgb
+        from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+
+        geo = self.config.geometry
+        voxel = voxelize_events_np(
+            np.asarray(x), np.asarray(y), np.asarray(t), np.asarray(p),
+            num_bins=geo.event_channels, height=geo.height, width=geo.width,
+        )
+        voxel = normalize_event_voxel_np(voxel)
+        if normalize:
+            rgb = normalize_rgb(np.asarray(rgb), geo)
+        return self.submit(rgb, np.transpose(voxel, (1, 2, 0)))
+
+    def infer(self, rgb: np.ndarray, event: np.ndarray, timeout: Optional[float] = None) -> Detections:
+        return self.submit(rgb, event).result(timeout=timeout)
+
+    # -- dispatcher ----------------------------------------------------------
+
+    def _take_batch(self) -> List[_Request]:
+        """Block for the first request, then coalesce up to max_delay_ms."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        max_bucket = self.options.buckets[-1]
+        deadline = time.perf_counter() + self.options.max_delay_ms / 1e3
+        while len(batch) < max_bucket:
+            wait = deadline - time.perf_counter()
+            try:
+                item = self._queue.get(block=wait > 0, timeout=max(wait, 0) or None)
+            except queue.Empty:
+                break
+            if item is None:  # stop sentinel: run what we have, loop exits next
+                self._stopping.set()
+                break
+            batch.append(item)
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while not self._stopping.is_set():
+            batch = self._take_batch()
+            if not batch:
+                break
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # surface device errors to every waiter
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        n = len(batch)
+        bucket = next(b for b in self.options.buckets if b >= n)
+        geo = self.config.geometry
+        rgb = np.zeros((bucket, geo.height, geo.width, 3), np.float32)
+        event = np.zeros((bucket, geo.height, geo.width, geo.event_channels), np.float32)
+        for i, req in enumerate(batch):
+            rgb[i] = req.rgb
+            event[i] = req.event
+
+        scores, labels, boxes = self._infer_jit(
+            self._variables, self._anchors, rgb, event
+        )
+        scores = np.asarray(scores)
+        labels = np.asarray(labels)
+        boxes = np.asarray(boxes)
+
+        thr = self.options.score_threshold
+        cap = self.options.max_detections or self.config.eval.max_detections
+        t_done = time.perf_counter()
+        lat_sum = 0.0
+        for i, req in enumerate(batch):
+            keep = scores[i] > thr
+            lat_ms = (t_done - req.t_submit) * 1e3
+            lat_sum += lat_ms
+            req.future.set_result(
+                Detections(
+                    scores=scores[i][keep][:cap],
+                    labels=labels[i][keep][:cap].astype(np.int32),
+                    boxes=boxes[i][keep][:cap],
+                    latency_ms=lat_ms,
+                    batch_size=bucket,
+                )
+            )
+        with self._lock:
+            self._n_requests += n
+            self._n_batches += 1
+            self._n_padded_slots += bucket - n
+            self._latencies_ms.extend(
+                (t_done - r.t_submit) * 1e3 for r in batch
+            )
+            if len(self._latencies_ms) > 4096:
+                self._latencies_ms = self._latencies_ms[-2048:]
+
+    # -- observability -------------------------------------------------------
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = np.asarray(self._latencies_ms, np.float64)
+            n_req, n_bat, pad = self._n_requests, self._n_batches, self._n_padded_slots
+        elapsed = (
+            time.perf_counter() - self._t_start if self._t_start is not None else 0.0
+        )
+        out = {
+            "requests": n_req,
+            "batches": n_bat,
+            "queue_depth": self._queue.qsize(),
+            "mean_batch_fill": (
+                n_req / (n_req + pad) if n_req + pad else 0.0
+            ),
+            "throughput_rps": n_req / elapsed if elapsed > 0 else 0.0,
+        }
+        if lat.size:
+            out.update(
+                latency_ms_p50=float(np.percentile(lat, 50)),
+                latency_ms_p90=float(np.percentile(lat, 90)),
+                latency_ms_p99=float(np.percentile(lat, 99)),
+                latency_ms_mean=float(lat.mean()),
+            )
+        return out

@@ -1,0 +1,334 @@
+"""Serving engine + HTTP front end.
+
+The reference's serving-equivalent path is the offline detect_image loop
+(visulize_fusion.py:47-131): batch-1 forward, host filter score>0.5. The
+engine must (a) return exactly what a direct batch-1 forward returns no matter
+which padded bucket a request rides in, (b) accept the reference's raw serving
+inputs (npz voxels / raw event streams, visulize_fusion.py:65-72), and (c)
+expose it all over stdlib HTTP.
+"""
+
+import dataclasses
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
+from frn_tpu.models.detector import (
+    decode_detections,
+    eval_output_for,
+    image_anchors,
+    init_detector,
+)
+from frn_tpu.serve import DetectionServer, ServeOptions, ServingEngine
+
+# Scores from random init sit near the 0.01 focal prior, so serving thresholds
+# must sit below that for detections to exist at all.
+SERVE_THR = 0.005
+
+
+def _small_cfg(h=64, w=96):
+    cfg = FrameworkConfig(
+        geometry=dataclasses.replace(DSEC, height=h, width=w),
+        model=ModelConfig(
+            variant="fusion", depth=18, num_classes=3, feature_size=32,
+            attention_chunk=128,
+        ),
+    )
+    return dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, score_threshold=0.0)
+    )
+
+
+@pytest.fixture(scope="module")
+def served_model():
+    cfg = _small_cfg()
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    return cfg, model, variables
+
+
+@pytest.fixture(scope="module")
+def engine(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1, 2, 4), max_delay_ms=150.0,
+                     score_threshold=SERVE_THR),
+    )
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+def _rand_inputs(cfg, seed):
+    rng = np.random.default_rng(seed)
+    geo = cfg.geometry
+    rgb = rng.normal(0, 1, (geo.height, geo.width, 3)).astype(np.float32)
+    event = rng.normal(0, 1, (geo.height, geo.width, geo.event_channels)).astype(
+        np.float32
+    )
+    return rgb, event
+
+
+def _direct_reference(served_model, rgb, event, thr=SERVE_THR):
+    """Batch-1 direct forward + decode + host threshold — what the engine must
+    reproduce for every request regardless of batching/padding."""
+    cfg, model, variables = served_model
+    cls, reg = model.apply(
+        variables, rgb[None], event[None], train=False,
+        eval_output=eval_output_for(cfg),
+    )
+    s, l, b = decode_detections(cls, reg, cfg, anchors=image_anchors(cfg))
+    s, l, b = np.asarray(s)[0], np.asarray(l)[0], np.asarray(b)[0]
+    keep = s > thr
+    return s[keep], l[keep], b[keep]
+
+
+def test_options_validation(served_model):
+    cfg, model, variables = served_model
+    with pytest.raises(ValueError):
+        ServingEngine(model, variables, cfg, ServeOptions(buckets=(4, 2, 1)))
+    with pytest.raises(ValueError):
+        ServingEngine(model, variables, cfg, ServeOptions(buckets=()))
+
+
+def test_shape_validation(engine, served_model):
+    cfg = served_model[0]
+    rgb, event = _rand_inputs(cfg, 0)
+    with pytest.raises(ValueError):
+        engine.submit(rgb[:-2], event)
+    with pytest.raises(ValueError):
+        engine.submit(rgb, event[..., :-1])
+
+
+def test_single_request_matches_direct_forward(engine, served_model):
+    cfg = served_model[0]
+    rgb, event = _rand_inputs(cfg, 1)
+    det = engine.infer(rgb, event, timeout=300)
+    s, l, b = _direct_reference(served_model, rgb, event)
+    assert det.scores.shape[0] == s.shape[0] > 0
+    np.testing.assert_allclose(det.scores, s, atol=1e-6)
+    np.testing.assert_array_equal(det.labels, l)
+    np.testing.assert_allclose(det.boxes, b, atol=1e-4)
+    assert det.latency_ms > 0
+
+
+def test_padded_bucket_is_invariant(served_model):
+    """A lone request forced into a batch-4 bucket (3 zero-padded slots) must
+    return the same detections as the direct batch-1 forward."""
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(4,), max_delay_ms=0.0, score_threshold=SERVE_THR),
+    )
+    with eng:
+        rgb, event = _rand_inputs(cfg, 2)
+        det = eng.infer(rgb, event, timeout=300)
+    assert det.batch_size == 4
+    s, l, b = _direct_reference(served_model, rgb, event)
+    np.testing.assert_allclose(det.scores, s, atol=1e-6)
+    np.testing.assert_array_equal(det.labels, l)
+    np.testing.assert_allclose(det.boxes, b, atol=1e-4)
+    stats = eng.stats()
+    assert stats["requests"] == 1 and stats["batches"] == 1
+    assert stats["mean_batch_fill"] == pytest.approx(0.25)
+
+
+def test_concurrent_submissions_coalesce_and_match(engine, served_model):
+    cfg = served_model[0]
+    inputs = [_rand_inputs(cfg, 10 + i) for i in range(3)]
+    futs = [engine.submit(rgb, event) for rgb, event in inputs]
+    dets = [f.result(timeout=300) for f in futs]
+    for (rgb, event), det in zip(inputs, dets):
+        s, l, b = _direct_reference(served_model, rgb, event)
+        np.testing.assert_allclose(det.scores, s, atol=1e-6)
+        np.testing.assert_array_equal(det.labels, l)
+        np.testing.assert_allclose(det.boxes, b, atol=1e-4)
+        assert det.batch_size in (1, 2, 4)
+    stats = engine.stats()
+    assert stats["requests"] >= 3
+    assert stats["latency_ms_p50"] > 0
+
+
+def test_submit_events_equals_host_preprocessed(engine, served_model):
+    """Raw event stream + [0,1] RGB through submit_events must equal manual
+    voxelize+normalize fed to submit (the full serving path is exactly the
+    dataset preprocessing, dsec_data.py:347-387,:461-462)."""
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rng = np.random.default_rng(3)
+    n = 2000
+    x = rng.integers(0, geo.width, n).astype(np.int64)
+    y = rng.integers(0, geo.height, n).astype(np.int64)
+    t = np.sort(rng.integers(0, 50_000, n)).astype(np.int64)
+    p = rng.integers(0, 2, n).astype(np.int64)
+    rgb01 = rng.uniform(0, 1, (geo.height, geo.width, 3)).astype(np.float32)
+
+    det_raw = engine.submit_events(x, y, t, p, rgb01).result(timeout=300)
+
+    voxel = normalize_event_voxel_np(
+        voxelize_events_np(x, y, t, p, num_bins=geo.event_channels,
+                           height=geo.height, width=geo.width)
+    )
+    det_pre = engine.infer(
+        normalize_rgb(rgb01, geo), np.transpose(voxel, (1, 2, 0)), timeout=300
+    )
+    np.testing.assert_allclose(det_raw.scores, det_pre.scores, atol=1e-6)
+    np.testing.assert_array_equal(det_raw.labels, det_pre.labels)
+    np.testing.assert_allclose(det_raw.boxes, det_pre.boxes, atol=1e-5)
+
+
+def test_engine_requires_start(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(model, variables, cfg)
+    rgb, event = _rand_inputs(cfg, 4)
+    with pytest.raises(RuntimeError):
+        eng.submit(rgb, event)
+
+
+# -- HTTP front end -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = DetectionServer(engine, host="127.0.0.1", port=0, timeout_s=300)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(server, payload: dict, compressed=False):
+    buf = io.BytesIO()
+    (np.savez_compressed if compressed else np.savez)(buf, **payload)
+    host, port = server.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/infer", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_healthz_and_stats(server):
+    host, port = server.address
+    with urllib.request.urlopen(f"http://{host}:{port}/healthz", timeout=30) as r:
+        assert json.loads(r.read()) == {"ok": True}
+    with urllib.request.urlopen(f"http://{host}:{port}/stats", timeout=30) as r:
+        assert "requests" in json.loads(r.read())
+
+
+def test_http_infer_preprocessed_voxel(server, engine, served_model):
+    cfg = served_model[0]
+    rgb, event = _rand_inputs(cfg, 5)
+    status, body = _post(
+        server, dict(rgb=rgb, event=event, preprocessed=np.int32(1))
+    )
+    assert status == 200
+    s, l, b = _direct_reference(served_model, rgb, event)
+    assert len(body["detections"]) == len(s)
+    got = body["detections"][0]
+    assert got["class"] == cfg.geometry.class_names[int(l[0])]
+    np.testing.assert_allclose(
+        [d["score"] for d in body["detections"]], s, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray([d["box"] for d in body["detections"]]), b, atol=1e-3
+    )
+    assert body["latency_ms"] > 0
+
+
+def test_http_infer_uint8_rgb_chw_event(server, served_model):
+    """uint8 RGB + CHW reference-layout voxel npz (visulize_fusion.py:65-72)."""
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rng = np.random.default_rng(6)
+    rgb_u8 = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+    event_chw = rng.normal(0, 3, (geo.event_channels, geo.height, geo.width)).astype(
+        np.float32
+    )
+    status, body = _post(server, dict(rgb=rgb_u8, event=event_chw), compressed=True)
+    assert status == 200 and isinstance(body["detections"], list)
+
+
+def test_http_infer_raw_events(server, served_model):
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rng = np.random.default_rng(7)
+    n = 500
+    status, body = _post(
+        server,
+        dict(
+            rgb=rng.uniform(0, 1, (geo.height, geo.width, 3)).astype(np.float32),
+            x=rng.integers(0, geo.width, n),
+            y=rng.integers(0, geo.height, n),
+            t=np.sort(rng.integers(0, 1000, n)),
+            p=rng.integers(0, 2, n),
+        ),
+    )
+    assert status == 200 and isinstance(body["detections"], list)
+
+
+def test_http_bad_payload_is_400(server):
+    host, port = server.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/infer", data=b"not an npz", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_http_missing_event_is_400(server, served_model):
+    cfg = served_model[0]
+    rgb, _ = _rand_inputs(cfg, 8)
+    buf = io.BytesIO()
+    np.savez(buf, rgb=rgb)
+    host, port = server.address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/infer", data=buf.getvalue(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_cli_build_engine_smoke():
+    """cli/serve.py arg plumbing -> a constructible engine (random init)."""
+    from frn_tpu.cli.serve import build_engine, get_parser
+
+    args = get_parser().parse_args(
+        ["--image_height", "64", "--image_width", "96", "--depth", "18",
+         "--feature_size", "32", "--buckets", "2,1", "--score_threshold", "0.3"]
+    )
+    engine, config = build_engine(args)
+    assert engine.options.buckets == (1, 2)  # normalized ascending
+    assert config.geometry.height == 64 and config.model.depth == 18
+    # device-side pool threshold must not exceed the serving cut
+    assert config.eval.score_threshold <= 0.3
+
+
+def test_stop_fails_pending_requests(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1,), max_delay_ms=0.0, score_threshold=SERVE_THR),
+    )
+    # dispatcher already dead: stop() must fail queued futures, not hang them
+    t = threading.Thread(target=lambda: None)
+    t.start()
+    t.join()
+    eng._thread = t
+    rgb, event = _rand_inputs(cfg, 9)
+    fut = eng.submit(rgb, event)
+    eng.stop()
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=5)
