@@ -43,6 +43,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--score_threshold", type=float, default=0.5,
                    help="serving score cut (reference visulize_fusion.py:105)")
     p.add_argument("--max_queue", type=int, default=256)
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="batches in flight on device while earlier results ride "
+                   "the host fetch (1 = synchronous dispatch)")
+    p.add_argument("--wire_format", default=None, choices=["compact", "f32"],
+                   help="request tensor encoding: 'compact' = raw uint8 RGB + "
+                   "int8 count voxel, normalized on device (4x less input "
+                   "bandwidth; default for voxel events); 'f32' = pre-normalized "
+                   "eval-pipeline tensors (default for --event_type gray)")
     p.add_argument("--request_timeout_s", type=float, default=60.0)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip pre-compiling every bucket at startup")
@@ -69,11 +77,14 @@ def build_engine(args):
         ),
     )
     buckets = tuple(sorted({int(b) for b in args.buckets.split(",") if b.strip()}))
+    wire = args.wire_format or ("f32" if geo.event_channels == 1 else "compact")
     options = ServeOptions(
         buckets=buckets,
         max_delay_ms=args.max_delay_ms,
         score_threshold=args.score_threshold,
         max_queue=args.max_queue,
+        pipeline_depth=args.pipeline_depth,
+        wire_format=wire,
     )
 
     model, state, _ = create_train_state(config, jax.random.PRNGKey(0), batch_size=1)

@@ -18,9 +18,18 @@ This engine implements the TPU-native pattern:
     `max_delay_ms` (0 = never wait: take what is queued and go). This is the
     standard latency/throughput dial: delay 0 serves interactive traffic at
     bucket-1 latency; a few ms amortizes dispatch overhead under load.
-  * **Single dispatcher thread** — TPUs execute one program at a time, so one
-    in-order dispatch queue is the truthful concurrency model; request
-    submission is thread-safe and returns a Future.
+  * **Single dispatcher thread, pipelined completion** — TPUs execute one
+    program at a time, so one in-order dispatch queue is the truthful
+    concurrency model; request submission is thread-safe and returns a Future.
+    Dispatch and result-fetch run on separate threads with a bounded in-flight
+    queue (`pipeline_depth`): the device computes batch k+1 while batch k's
+    outputs cross the host link (the axon relay's ~25 ms fetch would otherwise
+    sit on the critical path of every batch).
+  * **Compact wire format** — serving is input-bandwidth-heavy (the model is
+    small by TPU standards); by default requests cross the host->device link
+    as uint8 RGB + int8 raw polarity counts (2.5 MB/img vs 9.8 f32) and the
+    normalization runs on device, fused into the input graph
+    (ServeOptions.wire_format; measured in tools/bench_serve.py).
   * **Host postprocess per request** — the device returns fixed-size
     (scores, labels, boxes); the engine applies the serving score threshold
     (reference uses 0.5 at visulize_fusion.py:105) and slices valid rows.
@@ -64,6 +73,27 @@ class ServeOptions:
     # Bound on queued requests; submit raises queue.Full beyond it so overload
     # fails fast instead of growing latency without bound.
     max_queue: int = 256
+    # Batches in flight on device before the dispatcher blocks. Depth 2 lets
+    # the device compute batch k+1 while batch k's results ride the host fetch
+    # (~25 ms fixed on the axon relay — serializing them costs ~20% throughput,
+    # measured in tools/bench_serve.py). 1 = fully synchronous.
+    pipeline_depth: int = 2
+    # Wire format of request tensors crossing the host->device link:
+    #   'f32'     — pre-normalized float32 (standardized RGB + tanh voxel),
+    #               exactly the eval pipeline's tensors. 9.8 MB/request at DSEC
+    #               geometry.
+    #   'compact' — uint8 RGB [0..255] + int8 raw polarity-count voxel;
+    #               normalization runs ON DEVICE fused into the input graph
+    #               (bitwise-equal results: u8/255-standardize is the same f32
+    #               arithmetic, and tanh(x/5) saturates to 1.0f long before the
+    #               int8 clip at ±127 can differ from unclipped counts).
+    #               2.5 MB/request — 4x less input bandwidth and no host-side
+    #               f32 normalization work. The right choice whenever clients
+    #               hold raw camera frames + event counts (they always do;
+    #               'f32' exists for feeding eval-pipeline tensors verbatim).
+    #               Voxel-count events only (int8 rounding would destroy
+    #               e2vid grayscale 'gray' inputs).
+    wire_format: str = "compact"
 
 
 @dataclasses.dataclass
@@ -116,6 +146,11 @@ class ServingEngine:
     ):
         if not options.buckets or list(options.buckets) != sorted(set(options.buckets)):
             raise ValueError(f"buckets must be ascending and unique: {options.buckets}")
+        if options.wire_format not in ("f32", "compact"):
+            raise ValueError(f"unknown wire_format {options.wire_format!r}")
+        if options.wire_format == "compact" and config.geometry.event_channels == 1:
+            # 'gray' e2vid inputs are [0,1] floats; int8 count encoding is lossy
+            raise ValueError("wire_format='compact' requires voxel-count events")
         from frn_tpu.models.detector import (
             decode_detections,
             eval_output_for,
@@ -127,9 +162,26 @@ class ServingEngine:
         self._variables = variables
         self._anchors = jax.device_put(image_anchors(config))
         eval_output = eval_output_for(config)
+        compact = options.wire_format == "compact"
+
+        import jax.numpy as jnp
+
+        geo = config.geometry
+        rgb_mean = jnp.asarray(geo.rgb_mean, jnp.float32)
+        rgb_std = jnp.asarray(geo.rgb_std, jnp.float32)
 
         @jax.jit
         def _infer(variables, anchors, rgb, event):
+            if compact:
+                # device-side normalization: fuses into the stem convs, and cuts
+                # request wire bytes 4x (uint8+int8 vs two f32 tensors). Exactly
+                # the host pipeline's arithmetic: dataloader.py:522-534 RGB
+                # standardization, dsec_data.py:461-462 tanh voxel squash
+                # (applied per sample iff max |count| > 5).
+                rgb = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
+                event = event.astype(jnp.float32)
+                m = jnp.max(jnp.abs(event), axis=(1, 2, 3), keepdims=True)
+                event = jnp.where(m > 5.0, jnp.tanh(event / 5.0), event)
             cls, reg = model.apply(
                 variables, rgb, event, train=False, eval_output=eval_output
             )
@@ -139,7 +191,13 @@ class ServingEngine:
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
             maxsize=options.max_queue
         )
+        # (requests, device outputs) batches awaiting host fetch; bounds device
+        # memory to pipeline_depth result sets
+        self._inflight: "queue.Queue[Optional[Tuple[List[_Request], tuple]]]" = (
+            queue.Queue(maxsize=max(1, options.pipeline_depth))
+        )
         self._thread: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
         self._stopping = threading.Event()
 
         self._lock = threading.Lock()
@@ -156,6 +214,8 @@ class ServingEngine:
             raise RuntimeError("engine already started")
         self._stopping.clear()
         self._t_start = time.perf_counter()
+        self._completer = threading.Thread(target=self._complete_loop, daemon=True)
+        self._completer.start()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
         return self
@@ -174,6 +234,10 @@ class ServingEngine:
                 continue
         self._thread.join(timeout=timeout)
         self._thread = None
+        if self._completer is not None:
+            self._inflight.put(None)  # after dispatcher exit: nothing else enqueues
+            self._completer.join(timeout=timeout)
+            self._completer = None
         # fail any requests still queued after shutdown
         while True:
             try:
@@ -189,22 +253,60 @@ class ServingEngine:
     def __exit__(self, *exc) -> None:
         self.stop()
 
+    @property
+    def _wire_dtypes(self) -> Tuple[np.dtype, np.dtype]:
+        if self.options.wire_format == "compact":
+            return np.dtype(np.uint8), np.dtype(np.int8)
+        return np.dtype(np.float32), np.dtype(np.float32)
+
     def warmup(self) -> None:
         """Compile every bucket's executable ahead of traffic."""
         geo = self.config.geometry
+        rgb_dt, ev_dt = self._wire_dtypes
         for b in self.options.buckets:
-            rgb = np.zeros((b, geo.height, geo.width, 3), np.float32)
-            event = np.zeros((b, geo.height, geo.width, geo.event_channels), np.float32)
+            rgb = np.zeros((b, geo.height, geo.width, 3), rgb_dt)
+            event = np.zeros((b, geo.height, geo.width, geo.event_channels), ev_dt)
             out = self._infer_jit(self._variables, self._anchors, rgb, event)
             np.asarray(out[0])  # host fetch = the only reliable barrier (CLAUDE.md)
 
     # -- request API ---------------------------------------------------------
 
+    def _to_wire(self, rgb: np.ndarray, event: np.ndarray):
+        """Coerce one request's tensors to the engine's wire format.
+
+        'f32': pre-normalized float32 pass-through (eval-pipeline tensors).
+        'compact': RGB as uint8 0..255 (floats in [0,1] are u8-quantized —
+        exact when the float came from a u8 image /255, the reference's own
+        source, visulize_fusion.py:60); events as int8 raw polarity counts,
+        clipped to ±127 (exact through tanh saturation, see ServeOptions).
+        """
+        if self.options.wire_format == "f32":
+            return np.asarray(rgb, np.float32), np.asarray(event, np.float32)
+        rgb = np.asarray(rgb)
+        if rgb.dtype != np.uint8:
+            rgb = np.asarray(rgb, np.float32)
+            if rgb.size and rgb.max() > 1.0 + 1e-6:
+                raise ValueError(
+                    "compact wire format wants uint8 RGB (or floats in [0,1]); "
+                    f"got float data with max {rgb.max():.3f}"
+                )
+            rgb = np.rint(rgb * 255.0).astype(np.uint8)
+        event = np.clip(np.rint(np.asarray(event, np.float32)), -127, 127).astype(
+            np.int8
+        )
+        return rgb, event
+
     def submit(self, rgb: np.ndarray, event: np.ndarray) -> "Future[Detections]":
-        """Enqueue one image. Thread-safe. Raises queue.Full on overload."""
+        """Enqueue one image. Thread-safe. Raises queue.Full on overload.
+
+        Expected tensors depend on ServeOptions.wire_format: 'compact' (default)
+        takes RAW inputs — uint8 RGB and a raw polarity-count voxel grid —
+        normalized on device; 'f32' takes pre-normalized eval-pipeline tensors.
+        """
+        if self._thread is None:
+            raise RuntimeError("engine not started")
         geo = self.config.geometry
-        rgb = np.asarray(rgb, np.float32)
-        event = np.asarray(event, np.float32)
+        rgb, event = self._to_wire(rgb, event)
         if rgb.shape != (geo.height, geo.width, 3):
             raise ValueError(f"rgb shape {rgb.shape} != {(geo.height, geo.width, 3)}")
         if event.shape != (geo.height, geo.width, geo.event_channels):
@@ -212,8 +314,6 @@ class ServingEngine:
                 f"event shape {event.shape} != "
                 f"{(geo.height, geo.width, geo.event_channels)}"
             )
-        if self._thread is None:
-            raise RuntimeError("engine not started")
         fut: Future = Future()
         self._queue.put_nowait(_Request(rgb, event, fut, time.perf_counter()))
         return fut
@@ -233,18 +333,25 @@ class ServingEngine:
         nearest-bin semantics (dsec_data.py:347-387) and tanh normalization
         (dsec_data.py:461-462); standardizes RGB with the dataset constants.
         """
-        from frn_tpu.data.transforms import normalize_rgb
-        from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+        from frn_tpu.ops.voxelize import voxelize_events_np
 
         geo = self.config.geometry
         voxel = voxelize_events_np(
             np.asarray(x), np.asarray(y), np.asarray(t), np.asarray(p),
             num_bins=geo.event_channels, height=geo.height, width=geo.width,
         )
-        voxel = normalize_event_voxel_np(voxel)
+        voxel = np.transpose(voxel, (1, 2, 0))
+        if self.options.wire_format == "compact":
+            # raw counts + [0,1]/uint8 RGB go over the wire; the device program
+            # applies the identical normalization (see _infer)
+            return self.submit(rgb, voxel)
+        from frn_tpu.data.transforms import normalize_rgb
+        from frn_tpu.ops.voxelize import normalize_event_voxel_np
+
+        voxel = normalize_event_voxel_np(voxel)  # elementwise + global max: layout-free
         if normalize:
             rgb = normalize_rgb(np.asarray(rgb), geo)
-        return self.submit(rgb, np.transpose(voxel, (1, 2, 0)))
+        return self.submit(rgb, voxel)
 
     def infer(self, rgb: np.ndarray, event: np.ndarray, timeout: Optional[float] = None) -> Detections:
         return self.submit(rgb, event).result(timeout=timeout)
@@ -272,30 +379,50 @@ class ServingEngine:
         return batch
 
     def _dispatch_loop(self) -> None:
+        """Issue device programs; never blocks on a host fetch (that's the
+        completer's job — the device computes batch k+1 during batch k's fetch)."""
         while not self._stopping.is_set():
             batch = self._take_batch()
             if not batch:
                 break
             try:
-                self._run_batch(batch)
-            except Exception as e:  # surface device errors to every waiter
+                self._inflight.put(self._dispatch_batch(batch))
+            except Exception as e:  # surface trace/dispatch errors to waiters
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
 
-    def _run_batch(self, batch: List[_Request]) -> None:
+    def _dispatch_batch(self, batch: List[_Request]):
         n = len(batch)
         bucket = next(b for b in self.options.buckets if b >= n)
         geo = self.config.geometry
-        rgb = np.zeros((bucket, geo.height, geo.width, 3), np.float32)
-        event = np.zeros((bucket, geo.height, geo.width, geo.event_channels), np.float32)
+        rgb_dt, ev_dt = self._wire_dtypes
+        rgb = np.zeros((bucket, geo.height, geo.width, 3), rgb_dt)
+        event = np.zeros((bucket, geo.height, geo.width, geo.event_channels), ev_dt)
         for i, req in enumerate(batch):
             rgb[i] = req.rgb
             event[i] = req.event
+        outputs = self._infer_jit(self._variables, self._anchors, rgb, event)
+        return batch, (bucket, outputs)
 
-        scores, labels, boxes = self._infer_jit(
-            self._variables, self._anchors, rgb, event
-        )
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, (bucket, outputs) = item
+            try:
+                self._complete_batch(batch, bucket, outputs)
+            except Exception as e:  # surface device/fetch errors to every waiter
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _complete_batch(self, batch: List[_Request], bucket: int, outputs) -> None:
+        n = len(batch)
+        # one tree fetch, not three sequential ones (each host fetch pays the
+        # relay's fixed round trip)
+        scores, labels, boxes = jax.device_get(outputs)
         scores = np.asarray(scores)
         labels = np.asarray(labels)
         boxes = np.asarray(boxes)
@@ -303,11 +430,9 @@ class ServingEngine:
         thr = self.options.score_threshold
         cap = self.options.max_detections or self.config.eval.max_detections
         t_done = time.perf_counter()
-        lat_sum = 0.0
         for i, req in enumerate(batch):
             keep = scores[i] > thr
             lat_ms = (t_done - req.t_submit) * 1e3
-            lat_sum += lat_ms
             req.future.set_result(
                 Detections(
                     scores=scores[i][keep][:cap],

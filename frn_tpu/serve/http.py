@@ -38,15 +38,21 @@ from frn_tpu.serve.engine import ServingEngine
 
 
 def _prepare_inputs(engine: ServingEngine, arrays) -> Tuple[np.ndarray, np.ndarray]:
-    """npz payload -> (standardized rgb, normalized event voxel) HWC float32."""
-    from frn_tpu.data.transforms import normalize_rgb
-    from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+    """npz payload -> (rgb, event voxel) HWC in the engine's wire format."""
+    from frn_tpu.ops.voxelize import voxelize_events_np
 
     geo = engine.config.geometry
+    compact = engine.options.wire_format == "compact"
     if "rgb" not in arrays:
         raise ValueError("payload must contain 'rgb'")
-    rgb = np.asarray(arrays["rgb"], np.float32)
+    rgb = np.asarray(arrays["rgb"])
     preprocessed = bool(np.any(arrays["preprocessed"])) if "preprocessed" in arrays else False
+    if preprocessed and compact:
+        raise ValueError(
+            "this server runs wire_format='compact' (raw uint8 RGB + raw count "
+            "voxel, normalized on device); pre-normalized payloads need a "
+            "server started with wire_format='f32'"
+        )
 
     if "event" in arrays:
         event = np.asarray(arrays["event"], np.float32)
@@ -62,13 +68,21 @@ def _prepare_inputs(engine: ServingEngine, arrays) -> Tuple[np.ndarray, np.ndarr
     else:
         raise ValueError("payload must contain 'event' or raw 'x','y','t','p'")
 
-    if not preprocessed:
-        if rgb.max(initial=0.0) > 2.0:  # uint8-range payload
+    if rgb.dtype != np.uint8:
+        rgb = np.asarray(rgb, np.float32)
+        if rgb.max(initial=0.0) > 2.0:  # uint8-range float payload
             rgb = rgb / 255.0
+    if compact:
+        # engine._to_wire quantizes; device program normalizes (engine._infer)
+        return rgb, event
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np
+
+    if not preprocessed:
+        if rgb.dtype == np.uint8:
+            rgb = rgb.astype(np.float32) / 255.0
         rgb = normalize_rgb(rgb, geo)
-        event = np.transpose(
-            normalize_event_voxel_np(np.transpose(event, (2, 0, 1))), (1, 2, 0)
-        )
+        event = normalize_event_voxel_np(event)  # elementwise + global max
     return rgb, event
 
 

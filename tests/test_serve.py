@@ -60,7 +60,20 @@ def engine(served_model):
     eng = ServingEngine(
         model, variables, cfg,
         ServeOptions(buckets=(1, 2, 4), max_delay_ms=150.0,
-                     score_threshold=SERVE_THR),
+                     score_threshold=SERVE_THR, wire_format="f32"),
+    )
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+@pytest.fixture(scope="module")
+def engine_compact(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1,), max_delay_ms=0.0,
+                     score_threshold=SERVE_THR, wire_format="compact"),
     )
     eng.start()
     yield eng
@@ -126,7 +139,8 @@ def test_padded_bucket_is_invariant(served_model):
     cfg, model, variables = served_model
     eng = ServingEngine(
         model, variables, cfg,
-        ServeOptions(buckets=(4,), max_delay_ms=0.0, score_threshold=SERVE_THR),
+        ServeOptions(buckets=(4,), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="f32"),
     )
     with eng:
         rgb, event = _rand_inputs(cfg, 2)
@@ -194,6 +208,101 @@ def test_engine_requires_start(served_model):
     rgb, event = _rand_inputs(cfg, 4)
     with pytest.raises(RuntimeError):
         eng.submit(rgb, event)
+
+
+# -- compact wire format ------------------------------------------------------
+
+
+def _raw_inputs(cfg, seed):
+    """uint8 camera frame + integer polarity-count voxel (the raw client data)."""
+    rng = np.random.default_rng(seed)
+    geo = cfg.geometry
+    rgb_u8 = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+    counts = rng.poisson(1.5, (geo.height, geo.width, geo.event_channels))
+    counts = (counts * np.where(rng.random(counts.shape) < 0.5, -1, 1)).astype(
+        np.float32
+    )
+    counts[0, 0, 0] = 9.0  # force past the tanh threshold (max |v| > 5)
+    return rgb_u8, counts
+
+
+def test_compact_wire_matches_host_normalization(engine_compact, served_model):
+    """uint8+int8 over the wire with on-device normalization must reproduce
+    the host pipeline (u8/255 -> standardize; tanh(counts/5) iff max>5)."""
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np
+
+    cfg = served_model[0]
+    rgb_u8, counts = _raw_inputs(cfg, 20)
+    det = engine_compact.infer(rgb_u8, counts, timeout=300)
+
+    rgb_f = normalize_rgb(rgb_u8.astype(np.float32) / 255.0, cfg.geometry)
+    event_f = normalize_event_voxel_np(counts)
+    s, l, b = _direct_reference(served_model, rgb_f, event_f)
+    assert det.scores.shape[0] == s.shape[0] > 0
+    np.testing.assert_allclose(det.scores, s, atol=2e-5)
+    np.testing.assert_array_equal(det.labels, l)
+    np.testing.assert_allclose(det.boxes, b, atol=1e-3)
+
+
+def test_compact_submit_events_roundtrip(engine_compact, served_model):
+    """Raw event stream through the compact engine == voxelizing on the host
+    and submitting the counts."""
+    from frn_tpu.ops.voxelize import voxelize_events_np
+
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rng = np.random.default_rng(21)
+    n = 3000
+    x = rng.integers(0, geo.width, n).astype(np.int64)
+    y = rng.integers(0, geo.height, n).astype(np.int64)
+    t = np.sort(rng.integers(0, 50_000, n)).astype(np.int64)
+    p = rng.integers(0, 2, n).astype(np.int64)
+    rgb01 = rng.uniform(0, 1, (geo.height, geo.width, 3)).astype(np.float32)
+    rgb01 = np.rint(rgb01 * 255.0) / 255.0  # u8-sourced floats (lossless wire)
+
+    det_raw = engine_compact.submit_events(x, y, t, p, rgb01).result(timeout=300)
+    voxel = np.transpose(
+        voxelize_events_np(x, y, t, p, num_bins=geo.event_channels,
+                           height=geo.height, width=geo.width),
+        (1, 2, 0),
+    )
+    det_counts = engine_compact.infer(rgb01, voxel, timeout=300)
+    np.testing.assert_allclose(det_raw.scores, det_counts.scores, atol=1e-6)
+    np.testing.assert_array_equal(det_raw.labels, det_counts.labels)
+    np.testing.assert_allclose(det_raw.boxes, det_counts.boxes, atol=1e-5)
+
+
+def test_compact_rejects_unscaled_floats(engine_compact, served_model):
+    cfg = served_model[0]
+    rgb, event = _rand_inputs(cfg, 22)  # normalized f32 tensors (max >> 1)
+    with pytest.raises(ValueError):
+        engine_compact.submit(rgb, event)
+
+
+def test_compact_rejects_gray_geometry(served_model):
+    cfg, model, variables = served_model
+    gray_cfg = dataclasses.replace(
+        cfg, geometry=dataclasses.replace(cfg.geometry, event_channels=1)
+    )
+    with pytest.raises(ValueError):
+        ServingEngine(model, variables, gray_cfg,
+                      ServeOptions(wire_format="compact"))
+
+
+def test_prepare_inputs_compact_passthrough(engine_compact, served_model):
+    from frn_tpu.serve.http import _prepare_inputs
+
+    cfg = served_model[0]
+    rgb_u8, counts = _raw_inputs(cfg, 23)
+    rgb, event = _prepare_inputs(engine_compact, dict(rgb=rgb_u8, event=counts))
+    assert rgb.dtype == np.uint8  # no host normalization in compact mode
+    np.testing.assert_array_equal(event, counts)
+    with pytest.raises(ValueError):
+        _prepare_inputs(
+            engine_compact,
+            dict(rgb=rgb_u8, event=counts, preprocessed=np.int32(1)),
+        )
 
 
 # -- HTTP front end -----------------------------------------------------------
@@ -320,7 +429,8 @@ def test_stop_fails_pending_requests(served_model):
     cfg, model, variables = served_model
     eng = ServingEngine(
         model, variables, cfg,
-        ServeOptions(buckets=(1,), max_delay_ms=0.0, score_threshold=SERVE_THR),
+        ServeOptions(buckets=(1,), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="f32"),
     )
     # dispatcher already dead: stop() must fail queued futures, not hang them
     t = threading.Thread(target=lambda: None)
