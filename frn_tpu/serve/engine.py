@@ -74,9 +74,9 @@ class ServeOptions:
     # fails fast instead of growing latency without bound.
     max_queue: int = 256
     # Batches in flight on device before the dispatcher blocks. Depth 2 lets
-    # the device compute batch k+1 while batch k's results ride the host fetch
-    # (~25 ms fixed on the axon relay — serializing them costs ~20% throughput,
-    # measured in tools/bench_serve.py). 1 = fully synchronous.
+    # the device compute (and ingest) batch k+1 while batch k's results ride
+    # the host fetch — measured 2.5x throughput over depth 1 on the dev relay
+    # (tools/bench_serve.py). 1 = fully synchronous.
     pipeline_depth: int = 2
     # Wire format of request tensors crossing the host->device link:
     #   'f32'     — pre-normalized float32 (standardized RGB + tanh voxel),
