@@ -46,11 +46,18 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline_depth", type=int, default=2,
                    help="batches in flight on device while earlier results ride "
                    "the host fetch (1 = synchronous dispatch)")
-    p.add_argument("--wire_format", default=None, choices=["compact", "f32"],
+    p.add_argument("--wire_format", default=None,
+                   choices=["compact", "f32", "events"],
                    help="request tensor encoding: 'compact' = raw uint8 RGB + "
                    "int8 count voxel, normalized on device (4x less input "
                    "bandwidth; default for voxel events); 'f32' = pre-normalized "
-                   "eval-pipeline tensors (default for --event_type gray)")
+                   "eval-pipeline tensors (default for --event_type gray); "
+                   "'events' = raw x/y/t/p streams, voxelized ON DEVICE "
+                   "(clients never build grids)")
+    p.add_argument("--event_capacity", type=int, default=65536,
+                   help="'events' wire format: static event slots per request "
+                   "(streams beyond it are truncated; a 50 ms DSEC window is "
+                   "~25-50k events)")
     p.add_argument("--request_timeout_s", type=float, default=60.0)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip pre-compiling every bucket at startup")
@@ -85,6 +92,7 @@ def build_engine(args):
         max_queue=args.max_queue,
         pipeline_depth=args.pipeline_depth,
         wire_format=wire,
+        event_capacity=args.event_capacity,
     )
 
     model, state, _ = create_train_state(config, jax.random.PRNGKey(0), batch_size=1)

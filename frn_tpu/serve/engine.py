@@ -93,13 +93,26 @@ class ServeOptions:
     #               'f32' exists for feeding eval-pipeline tensors verbatim).
     #               Voxel-count events only (int8 rounding would destroy
     #               e2vid grayscale 'gray' inputs).
+    #   'events'  — the RAW SENSOR STREAM: uint8 RGB + x/y (int16), t (int32,
+    #               window-relative), p (int8), padded to `event_capacity`.
+    #               Voxelization (device segment_sum, ops/voxelize.py), the
+    #               tanh squash, and RGB standardization ALL run on device —
+    #               zero host preprocessing, ~1.5 MB/request at 64k capacity
+    #               (and the padding tail compresses on links that compress).
+    #               Requests must come through submit_events; exact vs the
+    #               host voxelizer (bin semantics tested 3-way in
+    #               tests/test_voxelize-style suites).
     wire_format: str = "compact"
+    # 'events' wire format: static per-request event slots. A 50 ms DSEC window
+    # carries ~25-50k events; streams beyond capacity are truncated to the
+    # window's FIRST `event_capacity` events (counted in stats()['truncated']).
+    event_capacity: int = 65536
 
 
 @dataclasses.dataclass
 class _Request:
     rgb: np.ndarray
-    event: np.ndarray
+    event: np.ndarray  # voxel (f32/compact) or (x, y, t, p, n) tuple ('events')
     future: Future
     t_submit: float
 
@@ -146,11 +159,13 @@ class ServingEngine:
     ):
         if not options.buckets or list(options.buckets) != sorted(set(options.buckets)):
             raise ValueError(f"buckets must be ascending and unique: {options.buckets}")
-        if options.wire_format not in ("f32", "compact"):
+        if options.wire_format not in ("f32", "compact", "events"):
             raise ValueError(f"unknown wire_format {options.wire_format!r}")
-        if options.wire_format == "compact" and config.geometry.event_channels == 1:
-            # 'gray' e2vid inputs are [0,1] floats; int8 count encoding is lossy
-            raise ValueError("wire_format='compact' requires voxel-count events")
+        if options.wire_format != "f32" and config.geometry.event_channels == 1:
+            # 'gray' e2vid inputs are [0,1] floats, not polarity counts
+            raise ValueError(
+                f"wire_format={options.wire_format!r} requires voxel-count events"
+            )
         from frn_tpu.models.detector import (
             decode_detections,
             eval_output_for,
@@ -162,7 +177,7 @@ class ServingEngine:
         self._variables = variables
         self._anchors = jax.device_put(image_anchors(config))
         eval_output = eval_output_for(config)
-        compact = options.wire_format == "compact"
+        wire = options.wire_format
 
         import jax.numpy as jnp
 
@@ -170,18 +185,36 @@ class ServingEngine:
         rgb_mean = jnp.asarray(geo.rgb_mean, jnp.float32)
         rgb_std = jnp.asarray(geo.rgb_std, jnp.float32)
 
+        def _squash(event):
+            # dsec_data.py:461-462 tanh voxel squash, per sample iff max|v| > 5
+            m = jnp.max(jnp.abs(event), axis=(1, 2, 3), keepdims=True)
+            return jnp.where(m > 5.0, jnp.tanh(event / 5.0), event)
+
         @jax.jit
         def _infer(variables, anchors, rgb, event):
-            if compact:
-                # device-side normalization: fuses into the stem convs, and cuts
-                # request wire bytes 4x (uint8+int8 vs two f32 tensors). Exactly
-                # the host pipeline's arithmetic: dataloader.py:522-534 RGB
-                # standardization, dsec_data.py:461-462 tanh voxel squash
-                # (applied per sample iff max |count| > 5).
+            # device-side preprocessing: fuses into the input graph and cuts
+            # request wire bytes 4-6x vs f32 tensors (exactly the host
+            # pipeline's arithmetic: dataloader.py:522-534 RGB standardization,
+            # dsec_data.py:347-387 voxelization, :461-462 tanh squash)
+            if wire != "f32":
                 rgb = (rgb.astype(jnp.float32) / 255.0 - rgb_mean) / rgb_std
-                event = event.astype(jnp.float32)
-                m = jnp.max(jnp.abs(event), axis=(1, 2, 3), keepdims=True)
-                event = jnp.where(m > 5.0, jnp.tanh(event / 5.0), event)
+            if wire == "compact":
+                event = _squash(event.astype(jnp.float32))
+            elif wire == "events":
+                from frn_tpu.ops.voxelize import voxelize_events
+
+                ex, ey, et, ep, nv = event
+
+                def vox(ex1, ey1, et1, ep1, nv1):
+                    v = voxelize_events(
+                        ex1.astype(jnp.int32), ey1.astype(jnp.int32),
+                        et1, ep1.astype(jnp.int32), nv1,
+                        num_bins=geo.event_channels,
+                        height=geo.height, width=geo.width,
+                    )
+                    return jnp.transpose(v, (1, 2, 0))  # CHW -> HWC
+
+                event = _squash(jax.vmap(vox)(ex, ey, et, ep, nv))
             cls, reg = model.apply(
                 variables, rgb, event, train=False, eval_output=eval_output
             )
@@ -204,6 +237,7 @@ class ServingEngine:
         self._n_requests = 0
         self._n_batches = 0
         self._n_padded_slots = 0
+        self._n_truncated_events = 0
         self._latencies_ms: "list[float]" = []  # bounded reservoir, newest-last
         self._t_start = None
 
@@ -259,13 +293,28 @@ class ServingEngine:
             return np.dtype(np.uint8), np.dtype(np.int8)
         return np.dtype(np.float32), np.dtype(np.float32)
 
+    def _empty_event_payload(self, bucket: int):
+        """Zero event tensors for one bucket in the engine's wire format."""
+        geo = self.config.geometry
+        if self.options.wire_format == "events":
+            cap = self.options.event_capacity
+            return (
+                np.zeros((bucket, cap), np.int16),  # x
+                np.zeros((bucket, cap), np.int16),  # y
+                np.zeros((bucket, cap), np.int32),  # t (window-relative)
+                np.zeros((bucket, cap), np.int8),  # p
+                np.zeros((bucket,), np.int32),  # num_valid
+            )
+        _, ev_dt = self._wire_dtypes
+        return np.zeros((bucket, geo.height, geo.width, geo.event_channels), ev_dt)
+
     def warmup(self) -> None:
         """Compile every bucket's executable ahead of traffic."""
         geo = self.config.geometry
-        rgb_dt, ev_dt = self._wire_dtypes
+        rgb_dt, _ = self._wire_dtypes
         for b in self.options.buckets:
             rgb = np.zeros((b, geo.height, geo.width, 3), rgb_dt)
-            event = np.zeros((b, geo.height, geo.width, geo.event_channels), ev_dt)
+            event = self._empty_event_payload(b)
             out = self._infer_jit(self._variables, self._anchors, rgb, event)
             np.asarray(out[0])  # host fetch = the only reliable barrier (CLAUDE.md)
 
@@ -282,29 +331,40 @@ class ServingEngine:
         """
         if self.options.wire_format == "f32":
             return np.asarray(rgb, np.float32), np.asarray(event, np.float32)
+        rgb = self._rgb_to_u8(rgb)
+        if self.options.wire_format == "events":
+            return rgb, event  # event is the (x, y, t, p, n) tuple, pre-packed
+        event = np.clip(np.rint(np.asarray(event, np.float32)), -127, 127).astype(
+            np.int8
+        )
+        return rgb, event
+
+    def _rgb_to_u8(self, rgb: np.ndarray) -> np.ndarray:
         rgb = np.asarray(rgb)
         if rgb.dtype != np.uint8:
             rgb = np.asarray(rgb, np.float32)
             if rgb.size and rgb.max() > 1.0 + 1e-6:
                 raise ValueError(
-                    "compact wire format wants uint8 RGB (or floats in [0,1]); "
-                    f"got float data with max {rgb.max():.3f}"
+                    f"{self.options.wire_format} wire format wants uint8 RGB "
+                    f"(or floats in [0,1]); got float data with max {rgb.max():.3f}"
                 )
             rgb = np.rint(rgb * 255.0).astype(np.uint8)
-        event = np.clip(np.rint(np.asarray(event, np.float32)), -127, 127).astype(
-            np.int8
-        )
-        return rgb, event
+        return rgb
 
     def submit(self, rgb: np.ndarray, event: np.ndarray) -> "Future[Detections]":
         """Enqueue one image. Thread-safe. Raises queue.Full on overload.
 
         Expected tensors depend on ServeOptions.wire_format: 'compact' (default)
         takes RAW inputs — uint8 RGB and a raw polarity-count voxel grid —
-        normalized on device; 'f32' takes pre-normalized eval-pipeline tensors.
+        normalized on device; 'f32' takes pre-normalized eval-pipeline tensors;
+        'events' servers take no voxel grids at all — use submit_events.
         """
         if self._thread is None:
             raise RuntimeError("engine not started")
+        if self.options.wire_format == "events":
+            raise ValueError(
+                "wire_format='events' serves raw streams; use submit_events"
+            )
         geo = self.config.geometry
         rgb, event = self._to_wire(rgb, event)
         if rgb.shape != (geo.height, geo.width, 3):
@@ -333,9 +393,50 @@ class ServingEngine:
         nearest-bin semantics (dsec_data.py:347-387) and tanh normalization
         (dsec_data.py:461-462); standardizes RGB with the dataset constants.
         """
+        geo = self.config.geometry
+        if self.options.wire_format == "events":
+            # pack the raw stream; voxelization runs ON DEVICE (ops/voxelize.py
+            # segment_sum kernel, bit-exact vs the host voxelizer's binning)
+            if self._thread is None:
+                raise RuntimeError("engine not started")
+            x = np.asarray(x)
+            y = np.asarray(y)
+            t = np.asarray(t, np.int64)
+            p = np.asarray(p)
+            n = int(x.shape[0])
+            cap = self.options.event_capacity
+            if n > cap:
+                # keep the window's first `cap` events; note: the truncated
+                # window's time span shrinks to the kept prefix
+                with self._lock:
+                    self._n_truncated_events += n - cap
+                x, y, t, p = x[:cap], y[:cap], t[:cap], p[:cap]
+                n = cap
+            ex = np.zeros(cap, np.int16)
+            ey = np.zeros(cap, np.int16)
+            et = np.zeros(cap, np.int32)
+            ep = np.zeros(cap, np.int8)
+            # clip before the int16 cast so out-of-sensor coordinates stay
+            # invalid (the device kernel masks x/y outside the frame) instead
+            # of wrapping back into range
+            ex[:n] = np.clip(x, -1, geo.width)
+            ey[:n] = np.clip(y, -1, geo.height)
+            if n:
+                et[:n] = t - t[0]  # window-relative: always fits int32
+            ep[:n] = p[:n] > 0
+            rgb = self._rgb_to_u8(rgb)
+            if rgb.shape != (geo.height, geo.width, 3):
+                raise ValueError(
+                    f"rgb shape {rgb.shape} != {(geo.height, geo.width, 3)}"
+                )
+            fut: Future = Future()
+            self._queue.put_nowait(
+                _Request(rgb, (ex, ey, et, ep, int(n)), fut, time.perf_counter())
+            )
+            return fut
+
         from frn_tpu.ops.voxelize import voxelize_events_np
 
-        geo = self.config.geometry
         voxel = voxelize_events_np(
             np.asarray(x), np.asarray(y), np.asarray(t), np.asarray(p),
             num_bins=geo.event_channels, height=geo.height, width=geo.width,
@@ -396,12 +497,17 @@ class ServingEngine:
         n = len(batch)
         bucket = next(b for b in self.options.buckets if b >= n)
         geo = self.config.geometry
-        rgb_dt, ev_dt = self._wire_dtypes
+        rgb_dt, _ = self._wire_dtypes
         rgb = np.zeros((bucket, geo.height, geo.width, 3), rgb_dt)
-        event = np.zeros((bucket, geo.height, geo.width, geo.event_channels), ev_dt)
+        event = self._empty_event_payload(bucket)
         for i, req in enumerate(batch):
             rgb[i] = req.rgb
-            event[i] = req.event
+            if self.options.wire_format == "events":
+                ex, ey, et, ep, nv = req.event
+                event[0][i], event[1][i], event[2][i], event[3][i] = ex, ey, et, ep
+                event[4][i] = nv
+            else:
+                event[i] = req.event
         outputs = self._infer_jit(self._variables, self._anchors, rgb, event)
         return batch, (bucket, outputs)
 
@@ -470,6 +576,9 @@ class ServingEngine:
             ),
             "throughput_rps": n_req / elapsed if elapsed > 0 else 0.0,
         }
+        if self.options.wire_format == "events":
+            with self._lock:
+                out["truncated_events"] = self._n_truncated_events
         if lat.size:
             out.update(
                 latency_ms_p50=float(np.percentile(lat, 50)),

@@ -118,8 +118,24 @@ def make_handler(engine: ServingEngine, timeout_s: float = 60.0):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
-                rgb, event = _prepare_inputs(engine, payload)
-                det = engine.infer(rgb, event, timeout=timeout_s)
+                if engine.options.wire_format == "events":
+                    # raw-stream server: x/y/t/p go straight to the device
+                    # voxelizer; voxel-grid payloads have no executable to run
+                    if not all(k in payload for k in ("x", "y", "t", "p")):
+                        raise ValueError(
+                            "this server runs wire_format='events'; send raw "
+                            "'x','y','t','p' streams (voxel grids need a "
+                            "'compact' or 'f32' server)"
+                        )
+                    if "rgb" not in payload:
+                        raise ValueError("payload must contain 'rgb'")
+                    det = engine.submit_events(
+                        payload["x"], payload["y"], payload["t"], payload["p"],
+                        payload["rgb"],
+                    ).result(timeout=timeout_s)
+                else:
+                    rgb, event = _prepare_inputs(engine, payload)
+                    det = engine.infer(rgb, event, timeout=timeout_s)
             except Exception as e:
                 self._send_json(400, {"error": str(e)})
                 return

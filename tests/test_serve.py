@@ -305,6 +305,123 @@ def test_prepare_inputs_compact_passthrough(engine_compact, served_model):
         )
 
 
+# -- events wire format (device-side voxelization) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def engine_events(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1,), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="events", event_capacity=4096),
+    )
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+def _raw_stream(cfg, seed, n=3000, t_base=0):
+    rng = np.random.default_rng(seed)
+    geo = cfg.geometry
+    x = rng.integers(0, geo.width, n).astype(np.int64)
+    y = rng.integers(0, geo.height, n).astype(np.int64)
+    t = t_base + np.sort(rng.integers(0, 50_000, n)).astype(np.int64)
+    p = rng.integers(0, 2, n).astype(np.int64)
+    return x, y, t, p
+
+
+def test_events_wire_matches_host_voxelizer(engine_events, served_model):
+    """Raw x/y/t/p over the wire with ON-DEVICE voxelization must reproduce the
+    host pipeline (host voxelize + tanh + standardized RGB -> f32 forward).
+    Large t_base exercises the int32 window-relative rebase (raw i64 us
+    timestamps)."""
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+
+    cfg = served_model[0]
+    geo = cfg.geometry
+    x, y, t, p = _raw_stream(cfg, 30, t_base=7_000_000_000)  # > int32 max
+    rng = np.random.default_rng(31)
+    rgb_u8 = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+
+    det = engine_events.submit_events(x, y, t, p, rgb_u8).result(timeout=300)
+
+    voxel = voxelize_events_np(
+        x, y, t, p, num_bins=geo.event_channels, height=geo.height,
+        width=geo.width,
+    )
+    event_f = normalize_event_voxel_np(np.transpose(voxel, (1, 2, 0)))
+    rgb_f = normalize_rgb(rgb_u8.astype(np.float32) / 255.0, geo)
+    s, l, b = _direct_reference(served_model, rgb_f, event_f)
+    assert det.scores.shape[0] == s.shape[0] > 0
+    np.testing.assert_allclose(det.scores, s, atol=2e-5)
+    np.testing.assert_array_equal(det.labels, l)
+    np.testing.assert_allclose(det.boxes, b, atol=1e-3)
+
+
+def test_events_wire_truncation_counted(engine_events, served_model):
+    cfg = served_model[0]
+    geo = cfg.geometry
+    cap = engine_events.options.event_capacity
+    x, y, t, p = _raw_stream(cfg, 32, n=cap + 500)
+    rgb = np.zeros((geo.height, geo.width, 3), np.uint8)
+    before = engine_events.stats().get("truncated_events", 0)
+    det = engine_events.submit_events(x, y, t, p, rgb).result(timeout=300)
+    assert isinstance(det.scores, np.ndarray)
+    assert engine_events.stats()["truncated_events"] == before + 500
+
+
+def test_events_wire_rejects_plain_submit(engine_events, served_model):
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rgb = np.zeros((geo.height, geo.width, 3), np.uint8)
+    voxel = np.zeros((geo.height, geo.width, geo.event_channels), np.float32)
+    with pytest.raises(ValueError):
+        engine_events.submit(rgb, voxel)
+
+
+@pytest.fixture(scope="module")
+def server_events(engine_events):
+    srv = DetectionServer(engine_events, host="127.0.0.1", port=0, timeout_s=300)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_http_events_server_raw_stream(server_events, served_model):
+    cfg = served_model[0]
+    geo = cfg.geometry
+    x, y, t, p = _raw_stream(cfg, 33, n=800)
+    rng = np.random.default_rng(34)
+    status, body = _post(
+        server_events,
+        dict(rgb=rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8),
+             x=x, y=y, t=t, p=p),
+    )
+    assert status == 200 and isinstance(body["detections"], list)
+
+
+def test_http_events_server_rejects_voxel_payload(server_events, served_model):
+    cfg = served_model[0]
+    geo = cfg.geometry
+    buf_payload = dict(
+        rgb=np.zeros((geo.height, geo.width, 3), np.uint8),
+        event=np.zeros((geo.event_channels, geo.height, geo.width), np.float32),
+    )
+    import io as _io
+    import urllib.request as _rq
+
+    buf = _io.BytesIO()
+    np.savez(buf, **buf_payload)
+    host, port = server_events.address
+    req = _rq.Request(f"http://{host}:{port}/infer", data=buf.getvalue(),
+                      method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _rq.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
 # -- HTTP front end -----------------------------------------------------------
 
 
