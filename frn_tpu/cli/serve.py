@@ -61,6 +61,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--request_timeout_s", type=float, default=60.0)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip pre-compiling every bucket at startup")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard every batch over all devices (per-chip model "
+                   "replicas; buckets must be multiples of the device count)")
     return p
 
 
@@ -100,11 +103,16 @@ def build_engine(args):
         print("WARNING: no --checkpoint given; serving RANDOM-INIT weights")
     state, _ = load_checkpoint_into_state(args, config, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh = None
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from frn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     config = dataclasses.replace(
         config, eval=dataclasses.replace(config.eval, score_threshold=min(
             config.eval.score_threshold, args.score_threshold))
     )
-    return ServingEngine(model, variables, config, options), config
+    return ServingEngine(model, variables, config, options, mesh=mesh), config
 
 
 def main(argv=None) -> int:

@@ -156,9 +156,23 @@ class ServingEngine:
         variables,
         config: FrameworkConfig,
         options: ServeOptions = ServeOptions(),
+        mesh=None,
     ):
+        """`mesh`: a jax.sharding.Mesh with a 'data' axis — multi-chip serving
+        as designed in PARITY.md: per-chip full-model replicas (weights +
+        anchors replicated), every batch sharded over 'data'. Each bucket must
+        be a multiple of the data-axis size so XLA splits the batch evenly;
+        per-image postprocess independence makes per-request results identical
+        to single-device serving (asserted in tests/test_serve.py)."""
         if not options.buckets or list(options.buckets) != sorted(set(options.buckets)):
             raise ValueError(f"buckets must be ascending and unique: {options.buckets}")
+        if mesh is not None:
+            nd = mesh.shape["data"]
+            bad = [b for b in options.buckets if b % nd]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh data axis ({nd})"
+                )
         if options.wire_format not in ("f32", "compact", "events"):
             raise ValueError(f"unknown wire_format {options.wire_format!r}")
         if options.wire_format != "f32" and config.geometry.event_channels == 1:
@@ -174,8 +188,23 @@ class ServingEngine:
 
         self.config = config
         self.options = options
-        self._variables = variables
-        self._anchors = jax.device_put(image_anchors(config))
+        self._mesh = mesh
+        if mesh is not None:
+            from frn_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate,
+                replicated_sharding,
+            )
+
+            self._variables = replicate(variables, mesh)
+            self._anchors = jax.device_put(
+                image_anchors(config), replicated_sharding(mesh)
+            )
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._variables = variables
+            self._anchors = jax.device_put(image_anchors(config))
+            self._batch_sharding = None
         eval_output = eval_output_for(config)
         wire = options.wire_format
 
@@ -508,6 +537,11 @@ class ServingEngine:
                 event[4][i] = nv
             else:
                 event[i] = req.event
+        if self._batch_sharding is not None:
+            # multi-chip: batch rows scatter over the mesh 'data' axis; weights
+            # are already replicated, so the only collective is the result gather
+            rgb = jax.device_put(rgb, self._batch_sharding)
+            event = jax.device_put(event, self._batch_sharding)
         outputs = self._infer_jit(self._variables, self._anchors, rgb, event)
         return batch, (bucket, outputs)
 

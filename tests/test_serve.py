@@ -305,6 +305,45 @@ def test_prepare_inputs_compact_passthrough(engine_compact, served_model):
         )
 
 
+# -- mesh-sharded (multi-chip) serving -----------------------------------------
+
+
+def test_mesh_sharded_serving_matches_single_device(served_model):
+    """The PARITY.md multi-chip serving design as code: replicated weights,
+    batch sharded over the 'data' axis. Per-request detections must be
+    identical to the direct single-device forward."""
+    from frn_tpu.parallel.mesh import make_mesh
+
+    cfg, model, variables = served_model
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(8,), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="f32"),
+        mesh=mesh,
+    )
+    with eng:
+        for seed in (40, 41):
+            rgb, event = _rand_inputs(cfg, seed)
+            det = eng.infer(rgb, event, timeout=600)
+            assert det.batch_size == 8  # 1 real row + 7 padded, sharded 8-way
+            s, l, b = _direct_reference(served_model, rgb, event)
+            np.testing.assert_allclose(det.scores, s, atol=1e-6)
+            np.testing.assert_array_equal(det.labels, l)
+            np.testing.assert_allclose(det.boxes, b, atol=1e-4)
+
+
+def test_mesh_rejects_indivisible_buckets(served_model):
+    from frn_tpu.parallel.mesh import make_mesh
+
+    cfg, model, variables = served_model
+    with pytest.raises(ValueError):
+        ServingEngine(model, variables, cfg,
+                      ServeOptions(buckets=(1, 2, 4), wire_format="f32"),
+                      mesh=make_mesh())
+
+
 # -- events wire format (device-side voxelization) -----------------------------
 
 

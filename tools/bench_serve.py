@@ -17,8 +17,11 @@ Env knobs:
   FRN_SERVE_DELAY_MS=2        coalescing delay
   FRN_SERVE_PIPELINE=2        pipeline depths to A/B (comma list; depth-1 vs 2
                               measured 0.68 vs 1.68 rps at f32 — overlap matters)
-  FRN_SERVE_WIRE=compact,f32  wire formats to A/B (uint8+int8 device-normalized
-                              vs pre-normalized f32)
+  FRN_SERVE_WIRE=compact,f32  wire formats to A/B: pre-normalized f32, uint8+int8
+                              device-normalized ('compact'), raw x/y/t/p streams
+                              voxelized on device ('events')
+  FRN_SERVE_EVENTS_N=30000    events per request for the 'events' wire
+  FRN_SERVE_CAPACITY=65536    static event slots for the 'events' wire
   FRN_SERVE_DEPTH=50          backbone depth
 
 Context (measured 2026-08-18): the axon relay moves incompressible request
@@ -49,6 +52,8 @@ PIPELINE = tuple(
     int(p) for p in os.environ.get("FRN_SERVE_PIPELINE", "2").split(",")
 )
 WIRE = tuple(os.environ.get("FRN_SERVE_WIRE", "compact,f32").split(","))
+EVENTS_N = int(os.environ.get("FRN_SERVE_EVENTS_N", "30000"))
+CAPACITY = int(os.environ.get("FRN_SERVE_CAPACITY", "65536"))
 DEPTH = int(os.environ.get("FRN_SERVE_DEPTH", "50"))
 
 
@@ -79,7 +84,15 @@ def main():
         compresses zeros; random data measures the real wire)."""
         out = []
         for _ in range(4):
-            if wire == "compact":
+            if wire == "events":
+                rgb = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+                ev = (
+                    rng.integers(0, geo.width, EVENTS_N),
+                    rng.integers(0, geo.height, EVENTS_N),
+                    np.sort(rng.integers(0, 50_000, EVENTS_N)),
+                    rng.integers(0, 2, EVENTS_N),
+                )
+            elif wire == "compact":
                 rgb = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
                 ev = rng.integers(
                     -9, 10, (geo.height, geo.width, geo.event_channels)
@@ -103,6 +116,7 @@ def main():
                 max_queue=max(2 * OUTSTANDING, 8),
                 pipeline_depth=depth,
                 wire_format=wire,
+                event_capacity=CAPACITY,
             )
             inputs = make_inputs(wire)
             engine = ServingEngine(model, variables, cfg, opts)
@@ -118,7 +132,11 @@ def main():
                 while completed < REQUESTS:
                     while submitted < REQUESTS and len(pending) < OUTSTANDING:
                         rgb, event = inputs[submitted % len(inputs)]
-                        pending.append(engine.submit(rgb, event))
+                        if wire == "events":
+                            x, y, t, p = event
+                            pending.append(engine.submit_events(x, y, t, p, rgb))
+                        else:
+                            pending.append(engine.submit(rgb, event))
                         submitted += 1
                     pending.popleft().result(timeout=600)
                     completed += 1
