@@ -28,6 +28,12 @@ def get_parser() -> argparse.ArgumentParser:
         choices=["voxel", "time_surface", "event_count", "binary"],
     )
     p.add_argument("--dt", type=int, default=50, help="event window in ms")
+    p.add_argument(
+        "--wire", default="f32", choices=["f32", "compact"],
+        help="host->device batch format: 'compact' ships uint8 RGB + int8 raw "
+        "count voxels and normalizes on device (4x fewer input bytes; voxel "
+        "representation only)",
+    )
     add_model_args(p)
     return p
 
@@ -48,6 +54,7 @@ def main(argv=None):
         args.dataset_root, split=args.split, split_yaml=args.split_yaml,
         time_window_us=args.dt * 1000,
         event_representation=args.event_representation,
+        compact_wire=args.wire == "compact",
     )
     config = FrameworkConfig(
         geometry=DSEC_DET,
@@ -59,7 +66,8 @@ def main(argv=None):
     model, state, _ = create_train_state(config, jax.random.PRNGKey(0), batch_size=args.batch_size)
     state, _ = load_checkpoint_into_state(args, config, state)
     infer = make_inference_fn(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, config
+        model, {"params": state.params, "batch_stats": state.batch_stats}, config,
+        wire=args.wire, rgb_standardize=dataset.normalize_rgb,
     )
     res = evaluate_dataset(dataset, infer, config, batch_size=args.batch_size, verbose=True)
     print("fps", round(res.fps, 2))

@@ -25,6 +25,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--debug_data", action="store_true", help="inspect 5 batches and exit")
+    p.add_argument(
+        "--wire", default="f32", choices=["f32", "compact"],
+        help="host->device batch format: 'compact' ships uint8 RGB + int8 raw "
+        "count voxels and normalizes inside the jitted train step (4x fewer "
+        "input bytes, less host CPU per batch)",
+    )
     add_model_args(p)
     return p
 
@@ -42,6 +48,7 @@ def main(argv=None):
     train_ds = DSECDetDataset(
         args.dataset_root, split="train", split_yaml=args.split_yaml,
         time_window_us=args.time_window_us,
+        compact_wire=args.wire == "compact",
     )
     config = FrameworkConfig(
         geometry=DSEC_DET,
@@ -54,6 +61,8 @@ def main(argv=None):
             grad_clip_norm=1.0, accum_steps=1, epochs=args.epochs,
             plateau_factor=0.5,
             loss_skip_threshold=50.0,  # fast-trainer guard (train_dsec_det_fast.py:256)
+            input_wire=args.wire,
+            input_rgb_standardize=train_ds.normalize_rgb,
         ),
     )
 

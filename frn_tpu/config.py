@@ -217,6 +217,15 @@ class TrainConfig:
     # zero-init classification head).
     warmup_steps: int = 0
     seed: int = 0
+    # Host->device batch wire format (mirrors eval's make_inference_fn wire=):
+    #   'f32'     — host-normalized float32 tensors (reference pipeline).
+    #   'compact' — uint8 RGB + int8 raw-count voxels from a
+    #               compact_wire=True dataset; /255 (+standardization iff
+    #               input_rgb_standardize) and the conditional tanh squash run
+    #               inside the jitted train step. 4x fewer input bytes per
+    #               batch — frees host CPU + input-link bandwidth for loaders.
+    input_wire: str = "f32"
+    input_rgb_standardize: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,8 +33,11 @@ def collate_fixed(
     assert n <= bsz
 
     ev_c = samples[0]["event"].shape[-1]
-    events = np.zeros((bsz, h, w, ev_c), dtype=np.float32)
-    rgbs = np.zeros((bsz, h, w, 3), dtype=np.float32)
+    # compact-wire datasets emit uint8 RGB / int8 count voxels (normalization
+    # runs on device, eval/detections.py make_inference_fn wire='compact');
+    # preserving the sample dtype keeps the batch 4x smaller over the wire
+    events = np.zeros((bsz, h, w, ev_c), dtype=samples[0]["event"].dtype)
+    rgbs = np.zeros((bsz, h, w, 3), dtype=samples[0]["rgb"].dtype)
     annots = np.full((bsz, max_annots, 5), -1.0, dtype=np.float32)
     mask = np.zeros((bsz,), dtype=bool)
 

@@ -19,7 +19,14 @@ from frn_tpu.data.loader import BatchLoader, device_prefetch
 from frn_tpu.models.detector import decode_detections
 
 
-def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> Callable:
+def make_inference_fn(
+    model,
+    variables,
+    config: FrameworkConfig,
+    mesh=None,
+    wire: str = "f32",
+    rgb_standardize: bool = False,
+) -> Callable:
     """jit-compiled (rgb, event) -> (scores (B,M), labels (B,M), boxes (B,M,4)).
 
     Variables and the anchor table ride as runtime jit arguments (not HLO
@@ -30,7 +37,20 @@ def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> C
     (test_dsec.py:103-105): params/anchors replicated, batch sharded, identical
     per-image numerics (each image's postprocess is independent). The batch size
     must be a multiple of the data-axis size.
+
+    `wire='compact'` moves input normalization INTO the jitted program: batches
+    arrive as uint8 RGB [0..255] + int8 raw polarity-count voxels (4x fewer
+    host->device bytes — the input link, not compute, bounds streaming eval on
+    hosted TPUs; measured in tools/bench_serve.py for the identical serving
+    path) and the device applies /255 (+ dataset standardization iff
+    `rgb_standardize` — the raw DSEC-Det path feeds [0,1] RGB, so the default
+    mirrors DSECDetDataset(normalize_rgb=False)) and the conditional tanh voxel
+    squash (dsec_data.py:461-462 semantics). Pair with a
+    `compact_wire=True` dataset; results match the f32 pipeline (int8 clipping
+    at ±127 is exact through tanh saturation — see serve/engine.py).
     """
+    if wire not in ("f32", "compact"):
+        raise ValueError(f"unknown wire {wire!r}")
     from frn_tpu.models.detector import image_anchors
     from frn_tpu.parallel.mesh import batch_sharding, replicate, replicated_sharding
 
@@ -50,8 +70,21 @@ def make_inference_fn(model, variables, config: FrameworkConfig, mesh=None) -> C
 
     eval_output = eval_output_for(config)
 
+    import jax.numpy as jnp
+
+    geo = config.geometry
+    rgb_mean = jnp.asarray(geo.rgb_mean, jnp.float32)
+    rgb_std = jnp.asarray(geo.rgb_std, jnp.float32)
+
     @jax.jit
     def _infer(variables, anchors, rgb, event):
+        if wire == "compact":
+            from frn_tpu.ops.voxelize import normalize_event_voxel_batched
+
+            rgb = rgb.astype(jnp.float32) / 255.0
+            if rgb_standardize:
+                rgb = (rgb - rgb_mean) / rgb_std
+            event = normalize_event_voxel_batched(event.astype(jnp.float32))
         cls, reg = model.apply(
             variables, rgb, event, train=False, eval_output=eval_output
         )

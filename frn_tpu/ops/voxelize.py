@@ -203,6 +203,19 @@ def normalize_event_voxel(voxel: jnp.ndarray, threshold: float = 5.0) -> jnp.nda
     return jnp.where(big, jnp.tanh(voxel / threshold), voxel)
 
 
+def normalize_event_voxel_batched(
+    voxel: jnp.ndarray, threshold: float = 5.0
+) -> jnp.ndarray:
+    """Per-sample conditional tanh squash over a (B, H, W, C) batch.
+
+    The reference applies the max|v| > 5 condition PER SAMPLE (dsec_data.py:
+    461-462 runs inside __getitem__); a batched device-side normalization must
+    keep that granularity — one busy sample must not squash its batchmates.
+    """
+    m = jnp.max(jnp.abs(voxel), axis=(1, 2, 3), keepdims=True)
+    return jnp.where(m > threshold, jnp.tanh(voxel / threshold), voxel)
+
+
 def normalize_event_voxel_np(voxel: np.ndarray, threshold: float = 5.0) -> np.ndarray:
     if np.abs(voxel).max() > threshold:
         return np.tanh(voxel / threshold).astype(np.float32)

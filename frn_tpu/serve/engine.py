@@ -216,8 +216,9 @@ class ServingEngine:
 
         def _squash(event):
             # dsec_data.py:461-462 tanh voxel squash, per sample iff max|v| > 5
-            m = jnp.max(jnp.abs(event), axis=(1, 2, 3), keepdims=True)
-            return jnp.where(m > 5.0, jnp.tanh(event / 5.0), event)
+            from frn_tpu.ops.voxelize import normalize_event_voxel_batched
+
+            return normalize_event_voxel_batched(event)
 
         @jax.jit
         def _infer(variables, anchors, rgb, event):

@@ -181,10 +181,28 @@ def make_train_step(
     if loss_skip_threshold is None:
         loss_skip_threshold = config.train.loss_skip_threshold
 
+    wire = config.train.input_wire
+    if wire not in ("f32", "compact"):
+        raise ValueError(f"unknown TrainConfig.input_wire {wire!r}")
+    rgb_mean = jnp.asarray(config.geometry.rgb_mean, jnp.float32)
+    rgb_std = jnp.asarray(config.geometry.rgb_std, jnp.float32)
+
     def loss_fn(params, batch_stats, batch, rng):
+        rgb, event = batch["rgb"], batch["event"]
+        if wire == "compact":
+            # uint8 RGB + int8 count voxels off a compact_wire=True dataset;
+            # the normalization arithmetic is the host pipeline's exactly
+            # (dataloader.py:522-534, dsec_data.py:461-462), fused into the
+            # step's input graph — see eval/detections.py make_inference_fn
+            from frn_tpu.ops.voxelize import normalize_event_voxel_batched
+
+            rgb = rgb.astype(jnp.float32) / 255.0
+            if config.train.input_rgb_standardize:
+                rgb = (rgb - rgb_mean) / rgb_std
+            event = normalize_event_voxel_batched(event.astype(jnp.float32))
         cls, reg = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["rgb"], batch["event"], train=True,
+            rgb, event, train=True,
             rngs={"modality": rng},
         )
         cls_loss, reg_loss = detection_loss(cls, reg, batch["annot"], config)
