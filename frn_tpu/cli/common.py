@@ -140,9 +140,22 @@ def make_eval_fn(args, config, test_dataset):
     """Periodic-eval callback for the Trainer: returns mAP@[.5:.95]."""
     from frn_tpu.eval import evaluate_dataset, make_inference_fn
 
+    # derive the wire from the dataset rather than assuming f32: a
+    # compact_wire val dataset fed to a f32 inference fn would silently
+    # report near-zero mAP mid-training (the dtype guard in make_inference_fn
+    # now also rejects it loudly)
+    wire = "compact" if getattr(test_dataset, "compact_wire", False) else "f32"
+    rgb_standardize = bool(getattr(test_dataset, "normalize_rgb", False)) and (
+        wire == "compact"
+    )
+
     def eval_fn(model, state):
         infer = make_inference_fn(
-            model, {"params": state.params, "batch_stats": state.batch_stats}, config
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            config,
+            wire=wire,
+            rgb_standardize=rgb_standardize,
         )
         res = evaluate_dataset(test_dataset, infer, config, batch_size=8)
         return res.summary["mAP"]

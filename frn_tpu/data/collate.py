@@ -33,6 +33,18 @@ def collate_fixed(
     assert n <= bsz
 
     ev_c = samples[0]["event"].shape[-1]
+    for s in samples[1:]:
+        if (
+            s["event"].dtype != samples[0]["event"].dtype
+            or s["rgb"].dtype != samples[0]["rgb"].dtype
+        ):
+            raise TypeError(
+                "collate_fixed: heterogeneous sample dtypes (event "
+                f"{s['event'].dtype} vs {samples[0]['event'].dtype}, rgb "
+                f"{s['rgb'].dtype} vs {samples[0]['rgb'].dtype}) — a float "
+                "transform over a compact-wire dataset would be silently "
+                "integer-truncated"
+            )
     # compact-wire datasets emit uint8 RGB / int8 count voxels (normalization
     # runs on device, eval/detections.py make_inference_fn wire='compact');
     # preserving the sample dtype keeps the batch 4x smaller over the wire

@@ -78,6 +78,24 @@ def make_inference_fn(
 
     @jax.jit
     def _infer(variables, anchors, rgb, event):
+        # wire/dataset agreement check (trace-time): a compact-wire dataset fed
+        # to a f32 inference fn (or vice versa) would silently produce garbage
+        # — raw [0,255] uint8 through the model, or [0,1] floats /255 again.
+        if wire == "compact":
+            if rgb.dtype != jnp.uint8 or event.dtype != jnp.int8:
+                raise TypeError(
+                    f"wire='compact' expects uint8 RGB + int8 event voxels, got "
+                    f"rgb={rgb.dtype} event={event.dtype} — pass a "
+                    "compact_wire=True dataset or use wire='f32'"
+                )
+        elif jnp.issubdtype(rgb.dtype, jnp.integer) or jnp.issubdtype(
+            event.dtype, jnp.integer
+        ):
+            raise TypeError(
+                f"wire='f32' got integer inputs (rgb={rgb.dtype}, "
+                f"event={event.dtype}) — this looks like a compact_wire dataset; "
+                "pass wire='compact' to make_inference_fn"
+            )
         if wire == "compact":
             from frn_tpu.ops.voxelize import normalize_event_voxel_batched
 
