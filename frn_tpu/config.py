@@ -147,6 +147,14 @@ class ModelConfig:
     #   'int8'     QK^T and PV both int8 (softmax weights round to 1/127 steps)
     # None (default) = exact bf16 kernel; parity/record runs keep the default.
     attention_quant: Optional[str] = None
+    # Fuse each stage's two cross-attention directions: the six C->C/8
+    # projection convs become two C->3C/8 convs (one per stream — 96 of 128
+    # MXU output lanes live instead of 32), both directions run as ONE flash
+    # kernel call batched on the grid dim (2B), and the two W back-projections
+    # become one batched matmul. Numerically identical to the sequential path
+    # (same params, concatenated weight columns; per-batch-independent kernel);
+    # exactness pinned in tests/test_models.py.
+    fused_attention: bool = False
 
     @property
     def block_layers(self) -> Tuple[int, ...]:

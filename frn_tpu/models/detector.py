@@ -91,6 +91,7 @@ class FRNDetector(nn.Module):
                     # bf16-exp flash softmax + int8 quant: inference only (no VJP)
                     exp_bf16=mc.flash_exp_bf16 and not train,
                     quant=mc.attention_quant if not train else None,
+                    fused_attention=mc.fused_attention,
                     name=f"fus_{i}",
                 )(e, r)  # (event, rgb) order per model.py:305-308
                 for i, (c, e, r) in enumerate(zip(stage_channels, evt_feats, rgb_feats))

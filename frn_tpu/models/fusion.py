@@ -88,6 +88,7 @@ class REFusion(nn.Module):
     dtype: Optional[jnp.dtype] = None
     exp_bf16: bool = False
     quant: Optional[str] = None
+    fused_attention: bool = False  # ModelConfig.fused_attention
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +106,9 @@ class REFusion(nn.Module):
         a1 = a0 + mul
         b1 = b0 + mul
 
+        if self.fused_attention and not self.is_initializing():
+            return self._fused_dual_attention(a1, b1)
+
         y_a = CrossAttentionBlock(
             self.channels, self.chunk, self.dtype, self.exp_bf16, self.quant,
             name="rgb_cross_attention",
@@ -113,4 +117,70 @@ class REFusion(nn.Module):
             self.channels, self.chunk, self.dtype, self.exp_bf16, self.quant,
             name="event_cross_attention",
         )(b1, a1)
+        return jnp.concatenate([y_a, y_b], axis=-1)
+
+    def _fused_dual_attention(self, a1: jnp.ndarray, b1: jnp.ndarray) -> jnp.ndarray:
+        """Both cross-attention directions in one pass over the SAME params.
+
+        Direction A (rgb_cross_attention) is attn(x0=a1, x1=b1); direction B
+        (event_cross_attention) is attn(x0=b1, x1=a1). Each stream feeds three
+        C->C/8 projections — g of its own direction plus theta/phi of the
+        other — so the three convs concatenate into one C->3C/8 conv per
+        stream (identical weight columns => identical per-output dot
+        products). The attention contraction batches the two directions on
+        the kernel grid dim (2B; per-batch independent => exact), and the two
+        C/8->C W projections run as one 2-group batched matmul.
+        """
+        p = self.variables["params"]
+        b, h, w, c = a1.shape
+        c8 = self.channels // 8
+        hw = h * w
+        dtype = self.dtype or a1.dtype
+
+        def kb(block: str, name: str):
+            cp = p[block][name]["Conv_0"]
+            return cp["kernel"][0, 0], cp["bias"]  # (C, c8), (c8,)
+
+        # from a1: g_A, theta_B, phi_B; from b1: g_B, theta_A, phi_A
+        kgA, bgA = kb("rgb_cross_attention", "g")
+        ktA, btA = kb("rgb_cross_attention", "theta")
+        kpA, bpA = kb("rgb_cross_attention", "phi")
+        kgB, bgB = kb("event_cross_attention", "g")
+        ktB, btB = kb("event_cross_attention", "theta")
+        kpB, bpB = kb("event_cross_attention", "phi")
+
+        ka = jnp.concatenate([kgA, ktB, kpB], axis=1).astype(dtype)  # (C, 3c8)
+        ba = jnp.concatenate([bgA, btB, bpB], axis=0).astype(dtype)
+        kb_ = jnp.concatenate([kgB, ktA, kpA], axis=1).astype(dtype)
+        bb = jnp.concatenate([bgB, btA, bpA], axis=0).astype(dtype)
+
+        a_flat = a1.reshape(b, hw, c).astype(dtype)
+        b_flat = b1.reshape(b, hw, c).astype(dtype)
+        pa = jnp.einsum("bnc,co->bno", a_flat, ka) + ba  # (B, HW, 3c8)
+        pb = jnp.einsum("bnc,co->bno", b_flat, kb_) + bb
+
+        g_a, th_b, ph_b = pa[..., :c8], pa[..., c8:2 * c8], pa[..., 2 * c8:]
+        g_b, th_a, ph_a = pb[..., :c8], pb[..., c8:2 * c8], pb[..., 2 * c8:]
+
+        g = jnp.concatenate([g_a, g_b], axis=0)  # (2B, HW, c8)
+        theta = jnp.concatenate([th_a, th_b], axis=0)
+        phi = jnp.concatenate([ph_a, ph_b], axis=0)
+        y = nonlocal_attention(
+            g, theta, phi, chunk=self.chunk, exp_bf16=self.exp_bf16,
+            quant=self.quant,
+        )  # (2B, HW, c8)
+
+        # reference view quirk (Attention.py:32) on both directions at once,
+        # flattened back to token-major for the batched W projection
+        y = reference_view_to_nhwc(y, h, w).reshape(2, b, hw, c8)
+
+        wA = p["rgb_cross_attention"]["W"]["Conv_0"]
+        wB = p["event_cross_attention"]["W"]["Conv_0"]
+        w_k = jnp.stack([wA["kernel"][0, 0], wB["kernel"][0, 0]]).astype(dtype)  # (2, c8, C)
+        w_b = jnp.stack([wA["bias"], wB["bias"]]).astype(dtype)  # (2, C)
+        w_y = jnp.einsum("dbnc,dco->dbno", y, w_k) + w_b[:, None, None, :]
+        w_y = w_y.reshape(2, b, h, w, c)
+
+        y_a = adain(a1, w_y[0])
+        y_b = adain(b1, w_y[1])
         return jnp.concatenate([y_a, y_b], axis=-1)

@@ -359,6 +359,62 @@ def test_detector_fused_heads_flag_consistency():
     np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off), atol=1e-5)
 
 
+def test_detector_fused_attention_flag_consistency():
+    """Detector forward with fused_attention on vs off must agree: the fused
+    path concatenates the SAME projection weight columns (read via
+    self.variables) into one C->3C/8 conv per stream and batches both
+    attention directions on the kernel grid dim, so per-output dot products
+    and per-batch attention rows are bit-compatible up to f32 reduction
+    order."""
+    cfg_on = FrameworkConfig(
+        geometry=dataclasses.replace(DSEC, height=64, width=64),
+        model=ModelConfig(variant="fusion", depth=18, num_classes=3,
+                          feature_size=32, attention_chunk=128,
+                          fused_attention=True),
+    )
+    cfg_off = dataclasses.replace(
+        cfg_on, model=dataclasses.replace(cfg_on.model, fused_attention=False))
+    rng = np.random.default_rng(11)
+    rgb = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    event = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 5)), jnp.float32)
+
+    m_on, v = init_detector(cfg_on, jax.random.PRNGKey(0), batch_size=2)
+    m_off = FRNDetector(cfg_off)
+    c_on, r_on = m_on.apply(v, rgb, event, train=False)
+    c_off, r_off = m_off.apply(v, rgb, event, train=False)
+    np.testing.assert_allclose(np.asarray(c_on), np.asarray(c_off),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_attention_gradients_match():
+    """The fused dual-attention path must carry gradients to the same fusion
+    params as the sequential path (it reads them via self.variables, which
+    must stay differentiable through flax's scope)."""
+    from frn_tpu.models.fusion import REFusion
+
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)), jnp.float32)
+    m_on = REFusion(channels=32, chunk=64, fused_attention=True)
+    m_off = REFusion(channels=32, chunk=64, fused_attention=False)
+    v = m_off.init(jax.random.PRNGKey(3), a, b)
+
+    def loss(params, m):
+        return jnp.sum(m.apply({"params": params}, a, b) ** 2)
+
+    g_on = jax.grad(loss)(v["params"], m_on)
+    g_off = jax.grad(loss)(v["params"], m_off)
+    flat_on = jax.tree_util.tree_leaves_with_path(g_on)
+    flat_off = jax.tree_util.tree_leaves_with_path(g_off)
+    assert len(flat_on) == len(flat_off)
+    for (pa, ga), (pb, gb) in zip(flat_on, flat_off):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_detector_flash_exp_bf16_flag_wiring():
     """flash_exp_bf16 must thread through the fusion stack and be a no-op where
     the Pallas kernel is unavailable (CPU) and on the training path (no VJP is
