@@ -30,12 +30,16 @@ TARGET_MULTIPLIER = 5.0
 BATCH = int(os.environ.get("FRN_BENCH_BATCH", "16"))
 ITERS = int(os.environ.get("FRN_BENCH_ITERS", "20"))
 DTYPE = os.environ.get("FRN_BENCH_DTYPE", "bfloat16")
+# the reference's results matrix is 3 variants x 2 benchmarks (README.md:87-105);
+# these knobs select the other cells (driver default stays DSEC fusion)
+GEOMETRY = os.environ.get("FRN_BENCH_GEOMETRY", "dsec")  # 'dsec' | 'ddd17'
+VARIANT = os.environ.get("FRN_BENCH_VARIANT", "fusion")  # 'fusion' | 'rgb' | 'event'
 
 
 def main():
     from frn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig
+    from frn_tpu.config import FrameworkConfig, ModelConfig, geometry_for
     from frn_tpu.models.detector import (
         FRNDetector,
         decode_detections,
@@ -45,9 +49,11 @@ def main():
 
     import dataclasses
 
+    geo_cfg = geometry_for(GEOMETRY)
     cfg = FrameworkConfig(
-        geometry=DSEC,
-        model=ModelConfig(variant="fusion", depth=50, num_classes=3, compute_dtype=DTYPE),
+        geometry=geo_cfg,
+        model=ModelConfig(variant=VARIANT, depth=50,
+                          num_classes=geo_cfg.num_classes, compute_dtype=DTYPE),
     )
     cfg_exact = dataclasses.replace(
         cfg, eval=dataclasses.replace(cfg.eval, approx_topk=False)
@@ -133,7 +139,7 @@ def main():
         fps_sharded = BATCH * ITERS / (time.perf_counter() - t0)
 
     result = {
-        "metric": "dsec_fusion_infer_fps_per_chip",
+        "metric": f"{GEOMETRY}_{VARIANT}_infer_fps_per_chip",
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / (TARGET_MULTIPLIER * A100_REFERENCE_FPS), 3),

@@ -142,7 +142,47 @@ def convert_state_dict(
         raise KeyError(f"torch checkpoint missing {len(report_missing)} keys, e.g. {report_missing[:5]}")
     unused = [k for k in torch_sd if k not in used and "num_batches_tracked" not in k]
     out["_unused_torch_keys"] = unused
+    out["_filled_keys"] = sorted(used)
+    out["_missing_template_keys"] = report_missing
     return out
+
+
+def imagenet_backbone_init(
+    torch_sd: Dict[str, np.ndarray],
+    template_variables: Dict[str, Any],
+    variant: str = "fusion",
+) -> Tuple[Dict[str, Any], Dict[str, List[str]]]:
+    """Out-of-the-box ImageNet-pretrained initialization (model.py:690-701).
+
+    Replicates the reference's ``model.load_state_dict(torchvision_resnet_sd,
+    strict=False)`` (model.py:700): every template leaf whose torch name
+    exists in the state dict is filled — for 'fusion'/'rgb' that is the 3-ch
+    RGB stem plus all four RGB stages (conv1/bn1/layer1..4 match torchvision's
+    names exactly) — while the event stem/backbone (*_event names, absent from
+    torchvision), fusion blocks, FPN, and heads keep their current init.
+    Unexpected torch keys (fc.*) are ignored; a present key with a mismatched
+    shape raises, exactly as torch does even under strict=False (the 'event'
+    variant's 5-channel conv1 therefore cannot take ImageNet weights — same
+    as the reference).
+
+    Recipe (given torchvision resnet50 weights at PATH):
+        sd = load_torch_checkpoint(PATH)
+        model, variables = init_detector(cfg, rng)
+        variables, report = imagenet_backbone_init(sd, variables, cfg.model.variant)
+
+    Returns (variables, report) with report keys 'filled' (torch names
+    copied), 'left_at_init' (template leaves not in the state dict), and
+    'ignored' (torch keys with no template target, e.g. fc.*).
+    """
+    out = convert_state_dict(torch_sd, template_variables, variant=variant, strict=False)
+    report = {
+        "filled": out.pop("_filled_keys"),
+        "left_at_init": out.pop("_missing_template_keys"),
+        "ignored": out.pop("_unused_torch_keys"),
+    }
+    variables = dict(template_variables)
+    variables.update({k: out[k] for k in ("params", "batch_stats")})
+    return variables, report
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -4,8 +4,22 @@ The reference's robustness protocol evaluates on pre-corrupted image folders
 (test_dsec.py:119-134 lists the types; generation is external, ImageNet-C-style).
 This module generates the corruptions on the fly with numpy/cv2/scipy so the sweep
 is self-contained — severity parameter tables follow the public ImageNet-C recipe
-(Hendrycks & Dietterich, 2019), with the frost texture synthesized procedurally
-(no bundled frost photographs).
+(Hendrycks & Dietterich, 2019).
+
+Formula faithfulness vs the public recipe (pinned in
+tests/test_corruption_golden.py):
+  * closed-form-identical: gaussian_noise, shot_noise, contrast, brightness
+    (HSV value add), pixelate, fog mixing arithmetic, jpeg_compression,
+    zoom_blur, defocus_blur, glass_blur (same tables/structure; RNG stream
+    differs by construction — deterministic per image+severity here);
+  * procedural approximations (public recipe needs assets/plugins we don't
+    bundle): frost (public composites 6 frost PHOTOGRAPHS; ours synthesizes
+    crystalline noise), motion_blur + snow's streak kernel (public uses
+    wand/ImageMagick motion blur), elastic_transform (public composes an
+    affine pre-warp), impulse_noise (public flips per-ELEMENT via skimage,
+    ours per-pixel; amount tables identical). On-the-fly numbers for these
+    are NOT comparable to tables produced from the reference's pre-generated
+    folders — pass --corruption_root to evaluate those (protocol-faithful).
 
 All functions take/return float32 RGB images in [0, 1], HWC.
 """
@@ -185,8 +199,16 @@ def frost(img, severity):
 
 
 def brightness(img, severity):
+    # public ImageNet-C adds c to the HSV VALUE channel (rgb2hsv -> v+c ->
+    # hsv2rgb), not to RGB: V = max(R,G,B), and scaling V scales RGB
+    # proportionally while preserving hue/saturation, so the closed form is
+    # rgb * clip(v+c,0,1)/v (gray clip(c) where v == 0). Bit-checked against a
+    # literal rgb2hsv/hsv2rgb replica in tests/test_corruption_golden.py.
     c = [0.1, 0.2, 0.3, 0.4, 0.5][severity - 1]
-    return np.clip(img + c, 0, 1).astype(np.float32)
+    v = img.max(axis=2, keepdims=True)
+    v_new = np.clip(v + c, 0, 1)
+    out = np.where(v > 0, img * (v_new / np.maximum(v, 1e-12)), v_new)
+    return np.clip(out, 0, 1).astype(np.float32)
 
 
 def contrast(img, severity):

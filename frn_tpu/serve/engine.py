@@ -102,11 +102,24 @@ class ServeOptions:
     #               Requests must come through submit_events; exact vs the
     #               host voxelizer (bin semantics tested 3-way in
     #               tests/test_voxelize-style suites).
+    #   'sparse'  — delta-coded NONZERO voxel cells (uint16 gap + int8 count,
+    #               3 B/cell; ops/voxelize.sparse_cells_from_voxel_np), decoded
+    #               on device by cumsum + sorted scatter-add. Real event
+    #               streams cluster: a 30k-event window touches ~10-20k
+    #               distinct (pixel, bin) cells, so this is the smallest exact
+    #               wire (~60 KB/request vs 'events' ~590 KB at 64k capacity,
+    #               'compact' 1.5 MB). EXACT for any count magnitude (splits
+    #               |count|>127 across repeated cells — no ±127 clip). Random
+    #               dense test streams are its worst case; size it with
+    #               cell_capacity.
     wire_format: str = "compact"
     # 'events' wire format: static per-request event slots. A 50 ms DSEC window
     # carries ~25-50k events; streams beyond capacity are truncated to the
     # window's FIRST `event_capacity` events (counted in stats()['truncated']).
     event_capacity: int = 65536
+    # 'sparse' wire format: static per-request cell slots; encodings beyond
+    # capacity drop TRAILING cells (counted in stats()['truncated_cells']).
+    cell_capacity: int = 24576
 
 
 @dataclasses.dataclass
@@ -173,7 +186,7 @@ class ServingEngine:
                 raise ValueError(
                     f"buckets {bad} not divisible by the mesh data axis ({nd})"
                 )
-        if options.wire_format not in ("f32", "compact", "events"):
+        if options.wire_format not in ("f32", "compact", "events", "sparse"):
             raise ValueError(f"unknown wire_format {options.wire_format!r}")
         if options.wire_format != "f32" and config.geometry.event_channels == 1:
             # 'gray' e2vid inputs are [0,1] floats, not polarity counts
@@ -245,6 +258,19 @@ class ServingEngine:
                     return jnp.transpose(v, (1, 2, 0))  # CHW -> HWC
 
                 event = _squash(jax.vmap(vox)(ex, ey, et, ep, nv))
+            elif wire == "sparse":
+                from frn_tpu.ops.voxelize import voxel_from_sparse
+
+                deltas, counts = event
+
+                def dec(d1, c1):
+                    v = voxel_from_sparse(
+                        d1, c1, num_bins=geo.event_channels,
+                        height=geo.height, width=geo.width,
+                    )
+                    return jnp.transpose(v, (1, 2, 0))  # CHW -> HWC
+
+                event = _squash(jax.vmap(dec)(deltas, counts))
             cls, reg = model.apply(
                 variables, rgb, event, train=False, eval_output=eval_output
             )
@@ -268,6 +294,7 @@ class ServingEngine:
         self._n_batches = 0
         self._n_padded_slots = 0
         self._n_truncated_events = 0
+        self._n_truncated_cells = 0
         self._latencies_ms: "list[float]" = []  # bounded reservoir, newest-last
         self._t_start = None
 
@@ -319,9 +346,14 @@ class ServingEngine:
 
     @property
     def _wire_dtypes(self) -> Tuple[np.dtype, np.dtype]:
-        if self.options.wire_format == "compact":
-            return np.dtype(np.uint8), np.dtype(np.int8)
-        return np.dtype(np.float32), np.dtype(np.float32)
+        # every non-f32 wire ships RGB as uint8 (requests are coerced by
+        # _rgb_to_u8; a float batch buffer here would silently upcast the
+        # whole RGB payload back to 4 bytes/px on the wire). The event dtype
+        # only applies to 'compact' — 'events'/'sparse' build their own
+        # payload tuples in _empty_event_payload.
+        if self.options.wire_format == "f32":
+            return np.dtype(np.float32), np.dtype(np.float32)
+        return np.dtype(np.uint8), np.dtype(np.int8)
 
     def _empty_event_payload(self, bucket: int):
         """Zero event tensors for one bucket in the engine's wire format."""
@@ -334,6 +366,12 @@ class ServingEngine:
                 np.zeros((bucket, cap), np.int32),  # t (window-relative)
                 np.zeros((bucket, cap), np.int8),  # p
                 np.zeros((bucket,), np.int32),  # num_valid
+            )
+        if self.options.wire_format == "sparse":
+            cap = self.options.cell_capacity
+            return (
+                np.zeros((bucket, cap), np.uint16),  # index deltas
+                np.zeros((bucket, cap), np.int8),  # signed counts
             )
         _, ev_dt = self._wire_dtypes
         return np.zeros((bucket, geo.height, geo.width, geo.event_channels), ev_dt)
@@ -364,6 +402,18 @@ class ServingEngine:
         rgb = self._rgb_to_u8(rgb)
         if self.options.wire_format == "events":
             return rgb, event  # event is the (x, y, t, p, n) tuple, pre-packed
+        if self.options.wire_format == "sparse":
+            from frn_tpu.ops.voxelize import sparse_cells_from_voxel_np
+
+            # submit() takes the HWC count voxel; encode to delta cells here
+            deltas, counts, _, dropped = sparse_cells_from_voxel_np(
+                np.transpose(np.asarray(event, np.float32), (2, 0, 1)),
+                self.options.cell_capacity,
+            )
+            if dropped:
+                with self._lock:
+                    self._n_truncated_cells += dropped
+            return rgb, (deltas, counts)
         event = np.clip(np.rint(np.asarray(event, np.float32)), -127, 127).astype(
             np.int8
         )
@@ -396,14 +446,12 @@ class ServingEngine:
                 "wire_format='events' serves raw streams; use submit_events"
             )
         geo = self.config.geometry
+        want_ev = (geo.height, geo.width, geo.event_channels)
+        if np.shape(event) != want_ev:
+            raise ValueError(f"event shape {np.shape(event)} != {want_ev}")
         rgb, event = self._to_wire(rgb, event)
         if rgb.shape != (geo.height, geo.width, 3):
             raise ValueError(f"rgb shape {rgb.shape} != {(geo.height, geo.width, 3)}")
-        if event.shape != (geo.height, geo.width, geo.event_channels):
-            raise ValueError(
-                f"event shape {event.shape} != "
-                f"{(geo.height, geo.width, geo.event_channels)}"
-            )
         fut: Future = Future()
         self._queue.put_nowait(_Request(rgb, event, fut, time.perf_counter()))
         return fut
@@ -472,9 +520,10 @@ class ServingEngine:
             num_bins=geo.event_channels, height=geo.height, width=geo.width,
         )
         voxel = np.transpose(voxel, (1, 2, 0))
-        if self.options.wire_format == "compact":
-            # raw counts + [0,1]/uint8 RGB go over the wire; the device program
-            # applies the identical normalization (see _infer)
+        if self.options.wire_format in ("compact", "sparse"):
+            # raw counts + [0,1]/uint8 RGB go over the wire (sparse: as
+            # delta-coded nonzero cells); the device program applies the
+            # identical normalization (see _infer)
             return self.submit(rgb, voxel)
         from frn_tpu.data.transforms import normalize_rgb
         from frn_tpu.ops.voxelize import normalize_event_voxel_np
@@ -536,6 +585,8 @@ class ServingEngine:
                 ex, ey, et, ep, nv = req.event
                 event[0][i], event[1][i], event[2][i], event[3][i] = ex, ey, et, ep
                 event[4][i] = nv
+            elif self.options.wire_format == "sparse":
+                event[0][i], event[1][i] = req.event
             else:
                 event[i] = req.event
         if self._batch_sharding is not None:
@@ -614,6 +665,9 @@ class ServingEngine:
         if self.options.wire_format == "events":
             with self._lock:
                 out["truncated_events"] = self._n_truncated_events
+        if self.options.wire_format == "sparse":
+            with self._lock:
+                out["truncated_cells"] = self._n_truncated_cells
         if lat.size:
             out.update(
                 latency_ms_p50=float(np.percentile(lat, 50)),

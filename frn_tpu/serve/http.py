@@ -42,16 +42,19 @@ def _prepare_inputs(engine: ServingEngine, arrays) -> Tuple[np.ndarray, np.ndarr
     from frn_tpu.ops.voxelize import voxelize_events_np
 
     geo = engine.config.geometry
-    compact = engine.options.wire_format == "compact"
+    # 'compact' and 'sparse' both want RAW inputs (uint8 RGB + count voxel);
+    # normalization runs on device, and sparse additionally delta-encodes in
+    # engine._to_wire
+    compact = engine.options.wire_format in ("compact", "sparse")
     if "rgb" not in arrays:
         raise ValueError("payload must contain 'rgb'")
     rgb = np.asarray(arrays["rgb"])
     preprocessed = bool(np.any(arrays["preprocessed"])) if "preprocessed" in arrays else False
     if preprocessed and compact:
         raise ValueError(
-            "this server runs wire_format='compact' (raw uint8 RGB + raw count "
-            "voxel, normalized on device); pre-normalized payloads need a "
-            "server started with wire_format='f32'"
+            f"this server runs wire_format={engine.options.wire_format!r} (raw "
+            "uint8 RGB + raw count voxel, normalized on device); pre-normalized "
+            "payloads need a server started with wire_format='f32'"
         )
 
     if "event" in arrays:

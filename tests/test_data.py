@@ -267,3 +267,63 @@ def test_batched_device_voxelize():
     assert out.shape == (b, 48, 64, 5)
     for i in range(b):
         np.testing.assert_allclose(out[i], np.transpose(wants[i], (1, 2, 0)), atol=1e-4)
+
+
+def test_sparse_cells_roundtrip_exact():
+    """sparse encode -> device decode must reproduce the count voxel exactly,
+    including |count| > 127 splitting and delta > 65535 bridging."""
+    from frn_tpu.ops.voxelize import sparse_cells_from_voxel_np, voxel_from_sparse
+
+    rng = np.random.default_rng(0)
+    c, h, w = 5, 48, 64
+    voxel = np.zeros((c, h, w), np.float32)
+    # clustered counts + extremes: a 300-count hot cell (needs 3 splits), a
+    # -200 cell, isolated cells far apart (bridge path: first index > 65535
+    # would need h*w*c > 65535 — force it via a synthetic big grid below)
+    ii = rng.integers(0, c * h * w, 400)
+    np.add.at(voxel.ravel(), ii, rng.integers(-3, 4, 400))
+    voxel.ravel()[7] = 300.0
+    voxel.ravel()[9] = -200.0
+    deltas, counts, n, dropped = sparse_cells_from_voxel_np(voxel, capacity=4096)
+    assert dropped == 0 and 0 < n <= 4096
+    assert deltas.dtype == np.uint16 and counts.dtype == np.int8
+    got = np.asarray(voxel_from_sparse(jnp.asarray(deltas), jnp.asarray(counts),
+                                       c, h, w))
+    np.testing.assert_array_equal(got, voxel)
+
+
+def test_sparse_cells_bridging_beyond_uint16():
+    """Indices further than 65535 apart require zero-count bridge cells."""
+    from frn_tpu.ops.voxelize import sparse_cells_from_voxel_np, voxel_from_sparse
+
+    c, h, w = 5, 200, 320  # grid size 320,000 >> 65535
+    voxel = np.zeros((c, h, w), np.float32)
+    voxel.ravel()[0] = 1.0
+    voxel.ravel()[150_000] = -2.0  # gap of 150,000: needs 2 bridges
+    voxel.ravel()[319_999] = 3.0
+    deltas, counts, n, dropped = sparse_cells_from_voxel_np(voxel, capacity=64)
+    assert dropped == 0
+    got = np.asarray(voxel_from_sparse(jnp.asarray(deltas), jnp.asarray(counts),
+                                       c, h, w))
+    np.testing.assert_array_equal(got, voxel)
+
+
+def test_sparse_cells_truncation_and_empty():
+    from frn_tpu.ops.voxelize import sparse_cells_from_voxel_np, voxel_from_sparse
+
+    c, h, w = 2, 8, 8
+    empty = np.zeros((c, h, w), np.float32)
+    d, cnt, n, dropped = sparse_cells_from_voxel_np(empty, capacity=16)
+    assert n == 0 and dropped == 0 and d.sum() == 0 and cnt.sum() == 0
+    np.testing.assert_array_equal(
+        np.asarray(voxel_from_sparse(jnp.asarray(d), jnp.asarray(cnt), c, h, w)),
+        empty,
+    )
+
+    full = np.ones((c, h, w), np.float32)  # 128 cells > capacity 16
+    d, cnt, n, dropped = sparse_cells_from_voxel_np(full, capacity=16)
+    assert n == 16 and dropped == 128 - 16
+    got = np.asarray(voxel_from_sparse(jnp.asarray(d), jnp.asarray(cnt), c, h, w))
+    # leading 16 cells survive in order
+    np.testing.assert_array_equal(got.ravel()[:16], np.ones(16))
+    assert got.ravel()[16:].sum() == 0

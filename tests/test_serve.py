@@ -598,3 +598,109 @@ def test_stop_fails_pending_requests(served_model):
     eng.stop()
     with pytest.raises(RuntimeError):
         fut.result(timeout=5)
+
+
+# -- sparse wire format (delta-coded nonzero cells) -----------------------------
+
+
+@pytest.fixture(scope="module")
+def engine_sparse(served_model):
+    cfg, model, variables = served_model
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1, 2), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="sparse", cell_capacity=8192),
+    )
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+def test_sparse_wire_matches_host_pipeline(engine_sparse, served_model):
+    """A raw event stream through the sparse wire (host sparse-encode ->
+    device cumsum/scatter decode + tanh + RGB standardization) must equal the
+    host-preprocessed f32 forward."""
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np, voxelize_events_np
+
+    cfg = served_model[0]
+    geo = cfg.geometry
+    x, y, t, p = _raw_stream(cfg, 40, n=3000)
+    rng = np.random.default_rng(41)
+    rgb_u8 = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+
+    det = engine_sparse.submit_events(x, y, t, p, rgb_u8).result(timeout=300)
+
+    voxel = voxelize_events_np(
+        x, y, t, p, num_bins=geo.event_channels, height=geo.height,
+        width=geo.width,
+    )
+    event_f = normalize_event_voxel_np(np.transpose(voxel, (1, 2, 0)))
+    rgb_f = normalize_rgb(rgb_u8.astype(np.float32) / 255.0, geo)
+    s, l, b = _direct_reference(served_model, rgb_f, event_f)
+    assert det.scores.shape[0] == s.shape[0] > 0
+    np.testing.assert_allclose(det.scores, s, atol=2e-5)
+    np.testing.assert_array_equal(det.labels, l)
+    np.testing.assert_allclose(det.boxes, b, atol=1e-3)
+
+
+def test_sparse_wire_exact_beyond_int8(engine_sparse, served_model):
+    """Counts past ±127 must survive the sparse wire exactly (split cells) —
+    the case where the compact wire clips. Verified against the f32 direct
+    forward of the UNclipped voxel."""
+    cfg = served_model[0]
+    geo = cfg.geometry
+    rng = np.random.default_rng(42)
+    voxel = np.zeros((geo.height, geo.width, geo.event_channels), np.float32)
+    ii = rng.integers(0, voxel.size, 500)
+    np.add.at(voxel.ravel(), ii, rng.integers(1, 5, 500))
+    voxel[7, 9, 0] = 300.0  # would clip to 127 on the compact wire
+    voxel[7, 9, 1] = -301.0
+    rgb_u8 = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
+
+    det = engine_sparse.submit(rgb_u8, voxel).result(timeout=300)
+
+    from frn_tpu.data.transforms import normalize_rgb
+    from frn_tpu.ops.voxelize import normalize_event_voxel_np
+
+    rgb_f = normalize_rgb(rgb_u8.astype(np.float32) / 255.0, geo)
+    s, l, b = _direct_reference(served_model, rgb_f,
+                                normalize_event_voxel_np(voxel))
+    np.testing.assert_allclose(det.scores, s, atol=2e-5)
+    np.testing.assert_array_equal(det.labels, l)
+
+
+def test_sparse_wire_truncation_counted(served_model):
+    cfg, model, variables = served_model
+    geo = cfg.geometry
+    eng = ServingEngine(
+        model, variables, cfg,
+        ServeOptions(buckets=(1,), max_delay_ms=0.0, score_threshold=SERVE_THR,
+                     wire_format="sparse", cell_capacity=64),
+    )
+    eng.start()
+    try:
+        voxel = np.ones((geo.height, geo.width, geo.event_channels), np.float32)
+        rgb = np.zeros((geo.height, geo.width, 3), np.uint8)
+        det = eng.submit(rgb, voxel).result(timeout=300)
+        assert isinstance(det.scores, np.ndarray)
+        assert eng.stats()["truncated_cells"] == voxel.size - 64
+    finally:
+        eng.stop()
+
+
+def test_nonf32_wires_ship_uint8_rgb(served_model):
+    """The batch buffers for every non-f32 wire must be uint8 RGB — an f32
+    buffer would silently 4x the request's dominant wire payload (regression:
+    the events wire shipped f32 RGB until round 4)."""
+    cfg, model, variables = served_model
+    for wire in ("compact", "events", "sparse"):
+        eng = ServingEngine(
+            model, variables, cfg,
+            ServeOptions(buckets=(1,), wire_format=wire),
+        )
+        rgb_dt, _ = eng._wire_dtypes
+        assert rgb_dt == np.uint8, wire
+        payload = eng._empty_event_payload(1)
+        if wire == "sparse":
+            assert payload[0].dtype == np.uint16 and payload[1].dtype == np.int8

@@ -526,3 +526,104 @@ def test_dsec_fusion_optimization_trajectory_parity(ref_model_module, monkeypatc
         )
     # the trajectory must actually move (optimizer steps taking effect)
     assert losses_torch[-1] != losses_torch[0]
+
+
+def _synthetic_torchvision_resnet50_sd(seed=0):
+    """A state dict with torchvision resnet50's EXACT key names and shapes
+    (conv1/bn1/layer{1..4}.{i}.{conv,bn}{1,2,3}/downsample/fc) and random
+    values — the real ImageNet weights are unreachable (zero egress) and the
+    pretrained-load recipe depends only on names/shapes."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = rng.normal(0, 0.05, (cout, cin, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.normal(1, 0.1, (c,)).astype(np.float32)
+        sd[name + ".bias"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        sd[name + ".running_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+        sd[name + ".num_batches_tracked"] = np.asarray(1, np.int64)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for s, (blocks, width) in enumerate([(3, 64), (4, 128), (6, 256), (3, 512)], 1):
+        out = width * 4
+        for i in range(blocks):
+            p = f"layer{s}.{i}"
+            conv(p + ".conv1", width, inplanes if i == 0 else out, 1)
+            bn(p + ".bn1", width)
+            conv(p + ".conv2", width, width, 3)
+            bn(p + ".bn2", width)
+            conv(p + ".conv3", out, width, 1)
+            bn(p + ".bn3", out)
+            if i == 0:
+                conv(p + ".downsample.0", out, inplanes, 1)
+                bn(p + ".downsample.1", out)
+        inplanes = out
+    sd["fc.weight"] = rng.normal(0, 0.05, (1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = np.zeros((1000,), np.float32)
+    return sd
+
+
+def test_imagenet_pretrained_init_recipe(ref_model_module):
+    """The out-of-the-box pretrained init (model.py:700 strict=False load of
+    torchvision resnet50): imagenet_backbone_init must land the SAME leaves
+    torch's strict=False load lands on the literal reference module — exactly
+    the 3-ch RGB stem + four RGB stages, with event backbone / fusion / FPN /
+    heads untouched — and the two models must then still agree on stem/stage
+    activations."""
+    from frn_tpu.convert.torch_import import (
+        _flatten,
+        convert_state_dict,
+        imagenet_backbone_init,
+    )
+
+    ref, model, variables, cfg = _build_pair(
+        ref_model_module, "fusion", "dsec", 64, 96, num_classes=3, seed=2
+    )
+    sd_np = _synthetic_torchvision_resnet50_sd()
+
+    res = ref.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}, strict=False
+    )
+    assert set(res.unexpected_keys) == {"fc.weight", "fc.bias"}
+    rgb_prefixes = ("conv1.", "bn1.", "layer1.", "layer2.", "layer3.", "layer4.")
+    assert not any(k.startswith(rgb_prefixes) for k in res.missing_keys)
+
+    variables2, report = imagenet_backbone_init(sd_np, variables, "fusion")
+    assert sorted(report["ignored"]) == ["fc.bias", "fc.weight"]
+    assert all(k.startswith(rgb_prefixes) for k in report["filled"])
+    assert "conv1.weight" in report["filled"]
+    assert "layer4.2.bn3.running_var" in report["filled"]
+    assert not any(
+        "_event" in k or k.startswith(("fus.", "fpn.", "regression", "classification"))
+        for k in report["filled"]
+    )
+
+    # leaf-exact agreement with torch's post-load state (export the reference's
+    # full state dict and compare tree-for-tree)
+    sd_after = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    expect = convert_state_dict(
+        sd_after, {c: variables[c] for c in ("params", "batch_stats")}, variant="fusion"
+    )
+    for coll in ("params", "batch_stats"):
+        got = _flatten(variables2[coll])
+        want = _flatten(expect[coll])
+        assert got.keys() == want.keys()
+        for path in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[path]), np.asarray(want[path]), err_msg=str(path)
+            )
+
+    # stem/stage activations still match torch after the pretrained load
+    rgb, event = _rand_inputs(64, 96, batch=1, seed=4)
+    caps_t, _ = _torch_stage_captures(ref, "fusion", _nchw(rgb), _nchw(event))
+    _, _, caps_j, _ = _ours_with_intermediates(
+        model, {c: variables2[c] for c in ("params", "batch_stats")}, cfg, rgb, event
+    )
+    assert _rel_diff(caps_j["rgb_backbone"][3], _to_nhwc(caps_t["rgb_c5"])) < TOL
+    assert _rel_diff(caps_j["event_backbone"][3], _to_nhwc(caps_t["evt_c5"])) < TOL
+    assert _rel_diff(caps_j["fpn"][0], _to_nhwc(caps_t["fpn"][0])) < TOL

@@ -72,9 +72,13 @@ def main():
         np.asarray(o[0])
 
     def measure(cfg, eval_output):
+        from frn_tpu.models.detector import FRNDetector
+
+        m = FRNDetector(cfg) if cfg.model != base.model else model
+
         @jax.jit
         def infer(variables, anchors, rgb, event):
-            cls, reg = model.apply(
+            cls, reg = m.apply(
                 variables, rgb, event, train=False, eval_output=eval_output
             )
             return decode_detections(cls, reg, cfg, anchors=anchors)
@@ -90,11 +94,12 @@ def main():
         return args.batch * args.iters / (time.perf_counter() - t0)
 
     def cfg_for(postprocess="dense", stem=False, approx=True, exp_bf16=False,
-                exact_pool="two_stage"):
+                exact_pool="two_stage", fused_attn=False):
         return dataclasses.replace(
             base,
             model=dataclasses.replace(
-                base.model, stem_kernel=stem, flash_exp_bf16=exp_bf16
+                base.model, stem_kernel=stem, flash_exp_bf16=exp_bf16,
+                fused_attention=fused_attn,
             ),
             eval=dataclasses.replace(
                 base.eval, postprocess=postprocess, approx_topk=approx,
@@ -105,25 +110,27 @@ def main():
     outputs = {"dense": "probs", "pooled": "probs", "pooled_logits": "logits",
                "pooled_chanlast": "logits_chanlast"}
     variants = [
-        ("base", "dense", False, False),
-        ("pooled", "pooled", False, False),
-        ("pooled_logits", "pooled_logits", False, False),
-        ("pooled_chanlast", "pooled_chanlast", False, False),
-        ("stem", "dense", True, False),
-        ("exp_bf16", "dense", False, True),
-        ("all", "pooled_chanlast", True, True),
+        ("base", "dense", False, False, False),
+        ("pooled", "pooled", False, False, False),
+        ("pooled_logits", "pooled_logits", False, False, False),
+        ("pooled_chanlast", "pooled_chanlast", False, False, False),
+        ("stem", "dense", True, False, False),
+        ("exp_bf16", "dense", False, True, False),
+        ("fused_attn", "pooled_chanlast", False, False, True),
+        ("all", "pooled_chanlast", True, True, False),
     ]
     only = set(args.only.split(",")) if args.only else None
-    for name, post, stem, ebf16 in variants:
+    for name, post, stem, ebf16, fattn in variants:
         if only is not None and name not in only:
             continue
-        fps = measure(cfg_for(post, stem, exp_bf16=ebf16), outputs[post])
+        fps = measure(cfg_for(post, stem, exp_bf16=ebf16, fused_attn=fattn),
+                      outputs[post])
         print(f"{name:18s} approx     {fps:7.2f} img/s", flush=True)
         if args.exact:
             for pool in ("two_stage", "radix"):
                 fps_e = measure(
                     cfg_for(post, stem, approx=False, exp_bf16=ebf16,
-                            exact_pool=pool),
+                            exact_pool=pool, fused_attn=fattn),
                     outputs[post])
                 print(f"{name:18s} exact/{pool:9s} {fps_e:7.2f} img/s", flush=True)
 

@@ -19,9 +19,14 @@ Env knobs:
                               measured 0.68 vs 1.68 rps at f32 — overlap matters)
   FRN_SERVE_WIRE=compact,f32  wire formats to A/B: pre-normalized f32, uint8+int8
                               device-normalized ('compact'), raw x/y/t/p streams
-                              voxelized on device ('events')
-  FRN_SERVE_EVENTS_N=30000    events per request for the 'events' wire
+                              voxelized on device ('events'), delta-coded
+                              nonzero voxel cells decoded on device ('sparse')
+  FRN_SERVE_EVENTS_N=30000    events per request for the 'events'/'sparse' wires
   FRN_SERVE_CAPACITY=65536    static event slots for the 'events' wire
+  FRN_SERVE_CELLS=24576       static cell slots for the 'sparse' wire
+  FRN_SERVE_REALISTIC=0       1 = spatially clustered event streams (real event
+                              cameras fire on edges/objects; uniform-random
+                              streams are the sparse wire's worst case)
   FRN_SERVE_DEPTH=50          backbone depth
 
 Context (measured 2026-08-18): the axon relay moves incompressible request
@@ -54,6 +59,8 @@ PIPELINE = tuple(
 WIRE = tuple(os.environ.get("FRN_SERVE_WIRE", "compact,f32").split(","))
 EVENTS_N = int(os.environ.get("FRN_SERVE_EVENTS_N", "30000"))
 CAPACITY = int(os.environ.get("FRN_SERVE_CAPACITY", "65536"))
+CELLS = int(os.environ.get("FRN_SERVE_CELLS", "24576"))
+REALISTIC = os.environ.get("FRN_SERVE_REALISTIC", "0") == "1"
 DEPTH = int(os.environ.get("FRN_SERVE_DEPTH", "50"))
 
 
@@ -79,19 +86,37 @@ def main():
     geo = cfg.geometry
     rng = np.random.default_rng(0)
 
+    def stream():
+        """One event window. REALISTIC clusters events around ~40 hot spots
+        (edges/objects — how event cameras actually fire); default is uniform
+        random, the worst case for the sparse wire."""
+        if not REALISTIC:
+            return (
+                rng.integers(0, geo.width, EVENTS_N),
+                rng.integers(0, geo.height, EVENTS_N),
+                np.sort(rng.integers(0, 50_000, EVENTS_N)),
+                rng.integers(0, 2, EVENTS_N),
+            )
+        k = 40
+        cx = rng.integers(0, geo.width, k)
+        cy = rng.integers(0, geo.height, k)
+        ci = rng.integers(0, k, EVENTS_N)
+        x = np.clip(np.rint(cx[ci] + rng.normal(0, 6, EVENTS_N)), 0,
+                    geo.width - 1).astype(np.int64)
+        y = np.clip(np.rint(cy[ci] + rng.normal(0, 6, EVENTS_N)), 0,
+                    geo.height - 1).astype(np.int64)
+        t = np.sort(rng.integers(0, 50_000, EVENTS_N))
+        p = rng.integers(0, 2, EVENTS_N)
+        return x, y, t, p
+
     def make_inputs(wire):
         """A small rotation of distinct, INCOMPRESSIBLE inputs (the relay
         compresses zeros; random data measures the real wire)."""
         out = []
         for _ in range(4):
-            if wire == "events":
+            if wire in ("events", "sparse"):
                 rgb = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
-                ev = (
-                    rng.integers(0, geo.width, EVENTS_N),
-                    rng.integers(0, geo.height, EVENTS_N),
-                    np.sort(rng.integers(0, 50_000, EVENTS_N)),
-                    rng.integers(0, 2, EVENTS_N),
-                )
+                ev = stream()
             elif wire == "compact":
                 rgb = rng.integers(0, 256, (geo.height, geo.width, 3), dtype=np.uint8)
                 ev = rng.integers(
@@ -117,6 +142,7 @@ def main():
                 pipeline_depth=depth,
                 wire_format=wire,
                 event_capacity=CAPACITY,
+                cell_capacity=CELLS,
             )
             inputs = make_inputs(wire)
             engine = ServingEngine(model, variables, cfg, opts)
@@ -132,7 +158,7 @@ def main():
                 while completed < REQUESTS:
                     while submitted < REQUESTS and len(pending) < OUTSTANDING:
                         rgb, event = inputs[submitted % len(inputs)]
-                        if wire == "events":
+                        if wire in ("events", "sparse"):
                             x, y, t, p = event
                             pending.append(engine.submit_events(x, y, t, p, rgb))
                         else:
@@ -144,6 +170,7 @@ def main():
                 stats = engine.stats()
             results[key] = {
                 "rps": round(REQUESTS / elapsed, 2),
+                "realistic_stream": REALISTIC,
                 "latency_ms_p50": round(stats.get("latency_ms_p50", 0.0), 1),
                 "latency_ms_p99": round(stats.get("latency_ms_p99", 0.0), 1),
                 "mean_batch_fill": round(stats["mean_batch_fill"], 3),

@@ -1,11 +1,17 @@
-"""Train-step benchmark + flash-backward block sweep (one TPU chip).
+"""Train-step benchmark: batch sweep + donation A/B + flash-bwd block sweep.
 
 The inference bench (bench.py) covers the serving path; this measures the full
 production train step (fwd + bwd + optimizer, bf16 activations / f32 params)
-at DSEC geometry, and sweeps the backward kernels' block sizes at the stage-1
-attention shape to pick defaults.
+at DSEC geometry across batch sizes, A/Bs buffer donation (the production
+trainer threads state through the step, so donate=True is the honest config),
+and sweeps the backward kernels' block sizes at the stage-1 attention shape.
+
+Run alone on the chip (timings starve under any concurrent host work):
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py \
+      [--batches 2,4,8,12,16] [--iters 10] [--kernel-sweep]
 """
 
+import argparse
 import time
 
 import jax
@@ -13,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from frn_tpu.config import DSEC, FrameworkConfig, ModelConfig, TrainConfig
-from frn_tpu.ops.flash_attention import _flash_backward, _flash_forward
 from frn_tpu.train.loop import create_train_state, make_train_step
 from frn_tpu.utils.cache import enable_compilation_cache
 
@@ -35,11 +40,9 @@ def timeit(name, fn, *args, iters=10, imgs=None):
     return dt
 
 
-def main():
-    enable_compilation_cache()
-    rng = np.random.default_rng(0)
+def kernel_sweep(rng):
+    from frn_tpu.ops.flash_attention import _flash_backward, _flash_forward
 
-    # --- backward kernel block sweep at the stage-1 shape
     B, N, D = 8, 19200, 32
     q, k, v = (jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.bfloat16)
                for _ in range(3))
@@ -50,8 +53,22 @@ def main():
                lambda bq=bq, bk=bk: _flash_backward(
                    q, k, v, o, lse, do, block_q=bq, block_k=bk))
 
-    # --- full train step, fusion, DSEC geometry
-    for batch in (2, 4):
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="2,4,8,12,16")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--kernel-sweep", action="store_true")
+    ap.add_argument("--no-donate-ab", action="store_true",
+                    help="skip the donate=False leg (halves compile time)")
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    if args.kernel_sweep:
+        kernel_sweep(rng)
+
+    for batch in (int(b) for b in args.batches.split(",")):
         cfg = FrameworkConfig(
             geometry=DSEC,
             model=ModelConfig(variant="fusion", depth=50, num_classes=3,
@@ -59,8 +76,6 @@ def main():
             train=TrainConfig(batch_size=batch, max_annots_per_image=16),
         )
         model, state, tx = create_train_state(cfg, jax.random.PRNGKey(0))
-        # donate=False: the bench reuses `state` across timing iterations
-        step = make_train_step(model, tx, cfg, donate=False)
         geo = cfg.geometry
         annots = np.full((batch, 16, 5), -1.0, np.float32)
         annots[:, 0] = [100, 100, 260, 260, 1]
@@ -73,11 +88,33 @@ def main():
         }
         key = jax.random.PRNGKey(1)
 
-        def run(state=state, batch_data=batch_data, step=step, key=key):
-            new_state, metrics = step(state, batch_data, key)
-            return metrics["loss"]
+        if not args.no_donate_ab:
+            step_nd = make_train_step(model, tx, cfg, donate=False)
 
-        timeit(f"train step fusion b{batch}", run, imgs=batch)
+            def run_nd(state=state, batch_data=batch_data, step=step_nd, key=key):
+                _, metrics = step(state, batch_data, key)
+                return metrics["loss"]
+
+            timeit(f"train step fusion b{batch} donate=F", run_nd,
+                   iters=args.iters, imgs=batch)
+
+        # donated leg: thread state through the loop exactly like the trainer
+        # (train/trainer.py) — the timing includes the state round-trip the
+        # production loop actually pays
+        step_d = make_train_step(model, tx, cfg, donate=True)
+        st = state
+        st, metrics = step_d(st, batch_data, key)  # compile + warmup
+        sync(metrics["loss"])
+        st, metrics = step_d(st, batch_data, key)
+        sync(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            st, metrics = step_d(st, batch_data, key)
+        sync(metrics["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{f'train step fusion b{batch} donate=T':46s} {dt * 1e3:8.2f} ms"
+              f"  {batch / dt:7.1f} img/s", flush=True)
+        del st, state, step_d, batch_data
 
 
 if __name__ == "__main__":
