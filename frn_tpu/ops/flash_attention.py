@@ -190,22 +190,41 @@ def _flash_forward(
         # exp2; softmax weights are bit-comparable (2^(log2e*s) == e^s up to
         # the one extra rounding of the scaled Q)
         q = q * jnp.asarray(LOG2E, q.dtype)
-    qp = _pad_to(_pad_to(q, LANE, 2), n_pad, 1)
-    kp = _pad_to(_pad_to(k, LANE, 2), n_pad, 1)
-    vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
-    # padded-key masking via a bias lane instead of an in-kernel iota+where:
-    # every query carries 1.0 in lane d; padded key rows carry NEG_INF there
-    # (real key rows keep 0). The MXU then produces s = -1e30 for padded keys
-    # exactly, at zero per-step VPU cost. Padded QUERY rows need no handling —
-    # their softmax is over real keys (finite) and their output is sliced off.
-    if n_pad > n:
+    d_ones = d
+    if n_pad == n:
+        # exact-fit grid (block sizes divide N, see _pick_fwd_blocks): there
+        # are NO padded key rows, so no masking lanes at all — only the lane
+        # pad 32 -> 128 and the v ones lane, emitted in ONE pass per tensor.
+        # The device trace (tools/trace_table.py, round 4) measured the padded
+        # path's pad + .at[].set dynamic-update-slices at ~6 ms/step @ b16:
+        # each bias-lane set is a full HBM pass over (B, N_pad, 128) bf16, and
+        # the 4096 grid padded stage-1's 19,200 tokens to 20,480 (13.7% padded
+        # score work inside the kernel). 19,200 = 5 x 3,840 fits exactly.
+        qp = _pad_to(q, LANE, 2)
+        kp = _pad_to(k, LANE, 2)
+        vp = jnp.concatenate(
+            [
+                v,
+                jnp.ones((b, n, 1), v.dtype),
+                jnp.zeros((b, n, LANE - d - 1), v.dtype),
+            ],
+            axis=2,
+        )
+    else:
+        qp = _pad_to(_pad_to(q, LANE, 2), n_pad, 1)
+        kp = _pad_to(_pad_to(k, LANE, 2), n_pad, 1)
+        vp = _pad_to(_pad_to(v, LANE, 2), n_pad, 1)
+        # padded-key masking via a bias lane instead of an in-kernel iota+where:
+        # every query carries 1.0 in lane d; padded key rows carry NEG_INF there
+        # (real key rows keep 0). The MXU then produces s = -1e30 for padded keys
+        # exactly, at zero per-step VPU cost. Padded QUERY rows need no handling —
+        # their softmax is over real keys (finite) and their output is sliced off.
         qp = qp.at[:, :, d].set(jnp.asarray(1.0, qp.dtype))
         kp = kp.at[:, n:, d].set(jnp.asarray(NEG_INF, kp.dtype))
-    # softmax denominator via the PV matmul: real V rows carry 1.0 in lane
-    # d_ones, so acc[:, d_ones] == rowsum(p) under identical alpha corrections
-    # (padded V rows stay 0 — their p is already 0 via the key bias lane)
-    d_ones = d
-    vp = vp.at[:, :n, d_ones].set(jnp.asarray(1.0, vp.dtype))
+        # softmax denominator via the PV matmul: real V rows carry 1.0 in lane
+        # d_ones, so acc[:, d_ones] == rowsum(p) under identical alpha corrections
+        # (padded V rows stay 0 — their p is already 0 via the key bias lane)
+        vp = vp.at[:, :n, d_ones].set(jnp.asarray(1.0, vp.dtype))
 
     assert block_q % q_splits == 0
     kernel = functools.partial(
@@ -402,10 +421,24 @@ def _pick_fwd_blocks(n: int):
     v5e sweep at the stage-1 shape (19,200 tokens): 4096x4096 blocks with a
     raised 120 MB scoped-VMEM budget (64 MB score tile) run 11.90 ms vs 12.23
     for 1024x1024 — fewer grid steps, longer MXU streaks. Small-N calls keep
-    1024 blocks: a 4096 block would pad stage-2's 4,800 tokens by 70%.
+    ~1024 blocks: a 4096 block would pad stage-2's 4,800 tokens by 70%.
+
+    Exact-fit preference (round 4, from the device-trace attribution): a block
+    size that DIVIDES n eliminates row padding, the q/k masking bias lanes
+    (~6 ms/step of pad + dynamic-update-slice HBM passes @ b16), and the
+    padded fraction of the score work itself (20,480^2 vs 19,200^2 = 12%).
+    Candidates are sublane-aligned (multiples of 8) and within the measured
+    sweet range; stage 1 (19,200) picks 3,840 (5x5 grid, same step count as
+    the padded 4096 grid), stage 2 (4,800) picks 1,200 (4x4 vs 5x5 padded).
     """
     if n >= 16384:
+        for blk in (4096, 3840, 3200, 2560, 2400, 1920):
+            if n % blk == 0:
+                return blk, blk, 120
         return 4096, 4096, 120
+    for blk in (1200, 1024, 960, 800, 640):
+        if n % blk == 0:
+            return blk, blk, 0
     return 1024, 1024, 0
 
 

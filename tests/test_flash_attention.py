@@ -25,6 +25,35 @@ def test_flash_matches_reference_interpret(b, n, d):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_flash_exact_fit_matches_reference():
+    # n a multiple of both blocks: the round-4 exact-fit path (no row padding,
+    # no masking bias lanes, fused v ones-lane concat) must stay exact
+    b, n, d = 2, 512, 32
+    g = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    want = np.asarray(_reference_attention(g, th, ph))
+    got = np.asarray(
+        _flash_forward(ph, th, g, block_q=128, block_k=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_pick_fwd_blocks_exact_fit_at_production_shapes():
+    from frn_tpu.ops.flash_attention import _pick_fwd_blocks
+
+    # DSEC stage 1 (120x160) and stage 2 (60x80) must get exact-fit grids;
+    # DDD17 stage 1 (65x87 = 5655, no aligned divisor) falls back to padding
+    for n in (19200, 4800):
+        bq, bk, _ = _pick_fwd_blocks(n)
+        assert n % bq == 0 and n % bk == 0, (n, bq, bk)
+    bq, bk, _ = _pick_fwd_blocks(5655)
+    assert (bq, bk) == (1024, 1024)
+    # custom 1024x1280 geometry: stage-1 81,920 tokens divide by 4096 exactly
+    bq, bk, _ = _pick_fwd_blocks(81920)
+    assert 81920 % bq == 0
+
+
 def test_flash_padding_mask_correct():
     # n not a multiple of the blocks: padded keys must not leak into the softmax
     b, n, d = 1, 130, 32
