@@ -466,6 +466,29 @@ def flash_nonlocal_attention_bf16exp(g, theta, phi):
     )
 
 
+def _pick_bwd_blocks(n: int):
+    """(block_q, block_k, vmem_limit_mb) for the backward kernels.
+
+    v5e sweep at the stage-1 shape (19,200 tokens, tools/bench_train.py
+    2026-08-19): exact-fit 1920x1920 under a raised 96 MB scoped-VMEM budget
+    runs 31.61 ms vs 33.41 for the padded 1024x1024 default and 31.84 for
+    2400x2400 — the first sweep's "exact-fit loses in bwd" result (1200: 33.63)
+    was a VMEM-budget artifact: blocks >= 1920 OOM the default 16 MB budget,
+    and the sub-1024 exact-fit candidates are too small to feed the MXU.
+    Stage-2 (4,800 tokens): 960 exact-fit 4.55 ms ~ 1024 padded 4.60 (noise),
+    but exact-fit also drops the 6 pad/slice HBM passes outside the kernel.
+    """
+    if n >= 16384:
+        for blk in (1920, 2400, 1600):
+            if n % blk == 0:
+                return blk, blk, 96
+        return 1024, 1024, 0
+    for blk in (960, 1024, 800, 1200):
+        if n % blk == 0:
+            return blk, blk, 0
+    return 1024, 1024, 0
+
+
 def _use_pallas_bwd() -> bool:
     return flash_attention_available()
 
@@ -485,7 +508,10 @@ def _fwd(g, theta, phi):
 def _bwd(res, ct, block_q: int = 1024):
     g, theta, phi, o, lse = res
     if lse is not None:
-        dphi, dtheta, dg = _flash_backward(phi, theta, g, o, lse, ct)
+        bq, bk, mb = _pick_bwd_blocks(g.shape[1])
+        dphi, dtheta, dg = _flash_backward(
+            phi, theta, g, o, lse, ct, block_q=bq, block_k=bk, vmem_limit_mb=mb
+        )
         return dg, dtheta, dphi
     return _bwd_scan((g, theta, phi), ct, block_q=block_q)
 

@@ -108,6 +108,40 @@ def test_pallas_backward_matches_dense_vjp_interpret():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dph), atol=2e-4, rtol=1e-3)
 
 
+def test_pallas_backward_exact_fit_matches_dense_vjp_interpret():
+    # n a multiple of both blocks: the bwd pads become no-ops (round-4
+    # _pick_bwd_blocks prefers exact-fit 1920 blocks at stage-1 shapes)
+    from frn_tpu.ops.flash_attention import _flash_backward
+
+    b, n, d = 1, 256, 32
+    g = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    th = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ph = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+    ct = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
+
+    o, lse = _flash_forward(ph, th, g, block_q=128, block_k=128,
+                            interpret=True, return_lse=True)
+    dq, dk, dv = _flash_backward(ph, th, g, o, lse, ct,
+                                 block_q=128, block_k=128, interpret=True)
+
+    _, vjp = jax.vjp(_reference_attention, g, th, ph)
+    want_dg, want_dth, want_dph = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dg), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dth), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dph), atol=2e-4, rtol=1e-3)
+
+
+def test_pick_bwd_blocks_exact_fit_at_production_shapes():
+    from frn_tpu.ops.flash_attention import _pick_bwd_blocks
+
+    bq, bk, mb = _pick_bwd_blocks(19200)  # DSEC stage 1: 10x10 grid of 1920
+    assert (bq, bk) == (1920, 1920) and 19200 % bq == 0 and mb == 96
+    bq, bk, mb = _pick_bwd_blocks(4800)  # DSEC stage 2: 5x5 grid of 960
+    assert (bq, bk) == (960, 960) and 4800 % bq == 0
+    bq, bk, _ = _pick_bwd_blocks(5655)  # DDD17 stage 1: no aligned divisor
+    assert (bq, bk) == (1024, 1024)
+
+
 def test_lse_output_matches_dense():
     b, n, d = 2, 150, 16
     g = jnp.asarray(RNG.normal(0, 1, (b, n, d)), jnp.float32)
