@@ -1,7 +1,16 @@
 """Alias of frn_tpu.cli.test with DSEC defaults (reference test_dsec.py)."""
-from frn_tpu.cli.test import main as _main
+from frn_tpu.cli.test import get_parser, main as _main  # noqa: F401 (get_parser re-export)
 
-if __name__ == "__main__":
+DEFAULTS = ["--dataset_name", "dsec"]
+
+
+def main(argv=None):
+    # defaults first: argparse is last-wins, so explicit user args override
     import sys
 
-    _main(["--dataset_name", "dsec"] + sys.argv[1:])
+    user = list(argv) if argv is not None else sys.argv[1:]
+    return _main(DEFAULTS + user)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,3 +113,38 @@ def test_cli_gray_event_type(fixture, tmp_path):
            "--fusion", "event"]
     )
     assert os.path.isdir(tmp_path / "ckpt_gray")
+
+
+@pytest.mark.parametrize(
+    "module_name, expected",
+    [
+        ("train_dsec", {"dataset_name": "dsec"}),
+        ("train_ddd17", {"dataset_name": "ddd17", "batch_size": 4,
+                         "epochs": 200, "checkpoint_every": 10}),
+        ("test_dsec", {"dataset_name": "dsec"}),
+        ("test_ddd17", {"dataset_name": "ddd17"}),
+    ],
+)
+def test_cli_alias_main_injects_defaults(monkeypatch, module_name, expected):
+    """Alias main() must apply the alias defaults (reference train_dsec.py:38-52
+    / test_ddd17.py hardcode them), with explicit user args overriding."""
+    import importlib
+
+    mod = importlib.import_module(f"frn_tpu.cli.{module_name}")
+    captured = {}
+    required = ["--csv_classes", "c.csv", "--root_img", "i", "--root_event", "e"]
+    required += (["--csv_train", "t.csv"] if module_name.startswith("train")
+                 else ["--checkpoint", "ck"])
+
+    def fake_main(argv=None):
+        captured["args"] = mod.get_parser().parse_args(argv)
+
+    monkeypatch.setattr(mod, "_main", fake_main)
+    mod.main(required)
+    for key, val in expected.items():
+        assert getattr(captured["args"], key) == val, key
+
+    # explicit user args win over alias defaults (argparse last-occurrence)
+    override = "ddd17" if expected["dataset_name"] == "dsec" else "dsec"
+    mod.main(required + ["--dataset_name", override])
+    assert captured["args"].dataset_name == override
