@@ -84,6 +84,70 @@ def test_expected_torch_names_fusion():
     assert not missing, missing
 
 
+def test_released_checkpoint_recipe_end_to_end(tmp_path):
+    """The PARITY.md released-weights recipe, on a synthetic torch .pt.
+
+    Mirrors exactly what a user does the moment the Google-Drive weights are
+    reachable: (1) a reference-schema checkpoint file ({'model_state_dict',
+    'epoch'} wrapper with DataParallel 'module.' prefixes — train_dsec.py's
+    save schema), (2) `cli/test.py --checkpoint best.pt` loads it via
+    load_checkpoint_into_state, and (3) `cli/convert_checkpoint.py` writes an
+    orbax dir that restores bit-identically.
+    """
+    import torch
+
+    from frn_tpu.cli.common import load_checkpoint_into_state
+    from frn_tpu.train.checkpoint import CheckpointManager
+    from frn_tpu.train.loop import create_train_state
+
+    cfg = FrameworkConfig(
+        geometry=TINY,
+        model=ModelConfig(variant="fusion", depth=18, num_classes=3,
+                          feature_size=16, attention_chunk=64),
+    )
+    _, state, _ = create_train_state(cfg, jax.random.PRNGKey(0), batch_size=1)
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    sd = _fake_torch_sd(template, "fusion")
+
+    # reference trainer save schema + DataParallel prefix
+    pt = tmp_path / "best.pt"
+    torch.save(
+        {
+            "epoch": 7,
+            "model_state_dict": {
+                "module." + k: torch.from_numpy(v) for k, v in sd.items()
+            },
+        },
+        pt,
+    )
+
+    class Args:
+        checkpoint = str(pt)
+
+    loaded, _ = load_checkpoint_into_state(Args(), cfg, state)
+    want = convert_state_dict(sd, template, variant="fusion", strict=True)
+    for path, leaf in _flatten(loaded.params).items():
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(_flatten(want["params"])[path])
+        )
+
+    # orbax leg: save the converted state, restore into a FRESH random state
+    mgr = CheckpointManager(str(tmp_path / "orbax"))
+    mgr.save(epoch=0, state=jax.device_get(loaded), meta={"source": str(pt)})
+    mgr.close()
+    _, fresh, _ = create_train_state(cfg, jax.random.PRNGKey(1), batch_size=1)
+
+    class Args2:
+        checkpoint = str(tmp_path / "orbax")
+
+    restored, meta = load_checkpoint_into_state(Args2(), cfg, fresh)
+    assert meta.get("source") == str(pt)
+    for path, leaf in _flatten(restored.params).items():
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(_flatten(loaded.params)[path])
+        )
+
+
 def test_shape_mismatch_raises():
     template = _template("rgb")
     sd = _fake_torch_sd(template, "rgb")
