@@ -415,6 +415,38 @@ def _reference_attention(g, theta, phi):
     return jnp.einsum("bqk,bkc->bqc", attn, g, preferred_element_type=jnp.float32).astype(g.dtype)
 
 
+def _min_pad_blocks(n: int, candidates):
+    """Pick the (block, vmem_mb) minimizing ceil-padding of n; tie -> larger.
+
+    Fallback for token counts with no exact-fit divisor (round 5, from the
+    round-4 finding that padding + mask-lane work dominates the flash
+    overhead): DDD17 stage-1's 5,655 tokens pad to 5,760 under a 1,920 block
+    (1.9%) vs 6,144 under the old padded-1024 default (8.6% + more grid
+    steps). Candidates are sublane-aligned (multiples of 8); larger blocks
+    win ties (fewer grid steps, longer MXU streaks — the round-4 sweep's
+    consistent direction at every measured N).
+    """
+    best = None
+    for blk, mb in candidates:
+        n_pad = -(-n // blk) * blk
+        key = (n_pad, -blk)
+        if best is None or key < best[0]:
+            best = (key, (blk, blk, mb))
+    return best[1]
+
+
+def _single_block(n: int):
+    """Round n up to the sublane (8) so ONE block covers all keys, if small.
+
+    For sub-1,536-token stages (DDD17 stage-2: 1,452 -> 1,456, 0.3% pad vs
+    41% under the padded-1024 grid) a single k block means num_k == 1: the
+    online-softmax recurrence collapses to one step and the score tile
+    (<= 1536^2 f32 = 9.4 MB) still fits VMEM under a modestly raised budget.
+    """
+    blk = -(-n // 8) * 8
+    return blk if blk <= 1536 else None
+
+
 def _pick_fwd_blocks(n: int):
     """(block_q, block_k, vmem_limit_mb) by sequence length.
 
@@ -430,16 +462,29 @@ def _pick_fwd_blocks(n: int):
     Candidates are sublane-aligned (multiples of 8) and within the measured
     sweet range; stage 1 (19,200) picks 3,840 (5x5 grid, same step count as
     the padded 4096 grid), stage 2 (4,800) picks 1,200 (4x4 vs 5x5 padded).
+    When no divisor exists, fall back to the minimal-pad candidate
+    (_min_pad_blocks) instead of the old always-pad-to-1024/4096 default.
     """
     if n >= 16384:
         for blk in (4096, 3840, 3200, 2560, 2400, 1920):
             if n % blk == 0:
                 return blk, blk, 120
-        return 4096, 4096, 120
+        return _min_pad_blocks(
+            n,
+            ((4096, 120), (3840, 120), (3200, 120), (2560, 96), (2400, 96),
+             (1920, 96)),
+        )
     for blk in (1200, 1024, 960, 800, 640):
         if n % blk == 0:
             return blk, blk, 0
-    return 1024, 1024, 0
+    one = _single_block(n)
+    if one is not None:
+        return one, one, 48
+    return _min_pad_blocks(
+        n,
+        ((1920, 96), (1536, 48), (1440, 48), (1280, 24), (1200, 0),
+         (1152, 0), (1024, 0), (960, 0), (800, 0), (640, 0)),
+    )
 
 
 @jax.custom_vjp
@@ -482,11 +527,19 @@ def _pick_bwd_blocks(n: int):
         for blk in (1920, 2400, 1600):
             if n % blk == 0:
                 return blk, blk, 96
-        return 1024, 1024, 0
+        return _min_pad_blocks(n, ((1920, 96), (2400, 96), (1600, 96),
+                                   (1024, 0)))
     for blk in (960, 1024, 800, 1200):
         if n % blk == 0:
             return blk, blk, 0
-    return 1024, 1024, 0
+    one = _single_block(n)
+    if one is not None:
+        return one, one, 48
+    return _min_pad_blocks(
+        n,
+        ((1920, 96), (1440, 48), (1200, 0), (1152, 0), (1024, 0), (960, 0),
+         (800, 0)),
+    )
 
 
 def _use_pallas_bwd() -> bool:

@@ -43,15 +43,25 @@ def test_pick_fwd_blocks_exact_fit_at_production_shapes():
     from frn_tpu.ops.flash_attention import _pick_fwd_blocks
 
     # DSEC stage 1 (120x160) and stage 2 (60x80) must get exact-fit grids;
-    # DDD17 stage 1 (65x87 = 5655, no aligned divisor) falls back to padding
+    # DDD17 stage 1 (65x87 = 5655, no aligned divisor) gets the minimal-pad
+    # fallback (5760 = 3x1920, 1.9% pad, vs the old 6144 = 6x1024, 8.6%)
     for n in (19200, 4800):
         bq, bk, _ = _pick_fwd_blocks(n)
         assert n % bq == 0 and n % bk == 0, (n, bq, bk)
-    bq, bk, _ = _pick_fwd_blocks(5655)
-    assert (bq, bk) == (1024, 1024)
+    bq, bk, mb = _pick_fwd_blocks(5655)
+    assert (bq, bk) == (1920, 1920) and mb == 96
+    assert -(-5655 // bq) * bq == 5760
+    # DDD17 stage 2 (33x44 = 1452): single block rounds to the sublane (1456,
+    # 0.3% pad) instead of the padded-1024 grid's 2048 (41%)
+    bq, bk, _ = _pick_fwd_blocks(1452)
+    assert (bq, bk) == (1456, 1456) and 1456 % 8 == 0
     # custom 1024x1280 geometry: stage-1 81,920 tokens divide by 4096 exactly
     bq, bk, _ = _pick_fwd_blocks(81920)
     assert 81920 % bq == 0
+    # large-N minimal-pad fallback: a prime-ish count near stage-1 scale must
+    # not fall back to blind 4096 padding when a tighter candidate exists
+    bq, bk, _ = _pick_fwd_blocks(19201)
+    assert -(-19201 // bq) * bq <= -(-19201 // 4096) * 4096
 
 
 def test_flash_padding_mask_correct():
@@ -138,8 +148,10 @@ def test_pick_bwd_blocks_exact_fit_at_production_shapes():
     assert (bq, bk) == (1920, 1920) and 19200 % bq == 0 and mb == 96
     bq, bk, mb = _pick_bwd_blocks(4800)  # DSEC stage 2: 5x5 grid of 960
     assert (bq, bk) == (960, 960) and 4800 % bq == 0
-    bq, bk, _ = _pick_bwd_blocks(5655)  # DDD17 stage 1: no aligned divisor
-    assert (bq, bk) == (1024, 1024)
+    bq, bk, mb = _pick_bwd_blocks(5655)  # DDD17 stage 1: minimal-pad 3x1920
+    assert (bq, bk) == (1920, 1920) and mb == 96
+    bq, bk, _ = _pick_bwd_blocks(1452)  # DDD17 stage 2: single 1456 block
+    assert (bq, bk) == (1456, 1456)
 
 
 def test_lse_output_matches_dense():
