@@ -26,10 +26,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_every", type=int, default=5)
     p.add_argument("--debug_data", action="store_true", help="inspect 5 batches and exit")
     p.add_argument(
-        "--wire", default="f32", choices=["f32", "compact"],
+        "--wire", default="f32", choices=["f32", "compact", "events"],
         help="host->device batch format: 'compact' ships uint8 RGB + int8 raw "
         "count voxels and normalizes inside the jitted train step (4x fewer "
-        "input bytes, less host CPU per batch)",
+        "input bytes, less host CPU per batch); 'events' ships the raw x/y/t/p "
+        "streams and voxelizes ON DEVICE (zero host voxelization CPU — the "
+        "loader escape hatch on host-core-bound machines)",
+    )
+    p.add_argument(
+        "--event_capacity", type=int, default=65536,
+        help="'events' wire: static event slots per sample (windows beyond "
+        "capacity keep their first N events)",
     )
     add_model_args(p)
     return p
@@ -49,6 +56,8 @@ def main(argv=None):
         args.dataset_root, split="train", split_yaml=args.split_yaml,
         time_window_us=args.time_window_us,
         compact_wire=args.wire == "compact",
+        events_wire=args.wire == "events",
+        event_capacity=args.event_capacity,
     )
     config = FrameworkConfig(
         geometry=DSEC_DET,
@@ -74,9 +83,17 @@ def main(argv=None):
         for i, batch in enumerate(loader):
             if i >= 5:
                 break
-            ev, rgb, ann = batch["event"], batch["rgb"], batch["annot"]
+            rgb, ann = batch["rgb"], batch["annot"]
+            if args.wire == "events":
+                ev_desc = (
+                    f"events n={batch['event_n'].tolist()} "
+                    f"cap={batch['event_x'].shape[1]}"
+                )
+            else:
+                ev = batch["event"]
+                ev_desc = f"event {ev.shape} [{ev.min():.3f},{ev.max():.3f}]"
             print(
-                f"batch {i}: event {ev.shape} [{ev.min():.3f},{ev.max():.3f}] "
+                f"batch {i}: {ev_desc} "
                 f"rgb {rgb.shape} [{rgb.min():.3f},{rgb.max():.3f}] "
                 f"valid annots {(ann[..., 4] >= 0).sum()}"
             )

@@ -32,6 +32,36 @@ def collate_fixed(
     n = len(samples)
     assert n <= bsz
 
+    if "event_x" in samples[0]:
+        # 'events' wire (DSECDetDataset(events_wire=True)): raw padded streams,
+        # voxelized on device inside the jitted step (train/loop.py /
+        # ops/voxelize.voxelize_events_batched). Per-sample arrays are already
+        # capacity-padded; just stack + batch-pad.
+        cap = samples[0]["event_x"].shape[0]
+        out = {
+            "event_x": np.zeros((bsz, cap), np.int16),
+            "event_y": np.zeros((bsz, cap), np.int16),
+            "event_t": np.zeros((bsz, cap), np.int32),
+            "event_p": np.zeros((bsz, cap), np.int8),
+            "event_n": np.zeros((bsz,), np.int32),
+        }
+        rgbs = np.zeros((bsz, h, w, 3), dtype=samples[0]["rgb"].dtype)
+        annots = np.full((bsz, max_annots, 5), -1.0, dtype=np.float32)
+        mask = np.zeros((bsz,), dtype=bool)
+        for i, s in enumerate(samples):
+            for key in ("event_x", "event_y", "event_t", "event_p"):
+                out[key][i] = s[key]
+            out["event_n"][i] = s["event_n"]
+            r = s["rgb"]
+            rgbs[i, : r.shape[0], : r.shape[1], :] = r[:h, :w]
+            a = s["annot"]
+            k = min(len(a), max_annots)
+            if k:
+                annots[i, :k] = a[:k]
+            mask[i] = True
+        out.update(rgb=rgbs, annot=annots, sample_mask=mask)
+        return out
+
     ev_c = samples[0]["event"].shape[-1]
     for s in samples[1:]:
         if (

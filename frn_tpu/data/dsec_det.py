@@ -175,6 +175,8 @@ class DSECDetDataset:
         event_representation: str = "voxel",  # test_dsec_det.py:65
         only_perfect_tracks: bool = False,  # dsec_utils.py:123-148
         compact_wire: bool = False,
+        events_wire: bool = False,
+        event_capacity: int = 65536,
     ):
         """`compact_wire=True` emits device-normalizable raw tensors instead of
         host-normalized float32: uint8 RGB [0..255] and int8 raw polarity-count
@@ -189,7 +191,18 @@ class DSECDetDataset:
                 "compact_wire requires event_representation='voxel' "
                 f"(got {event_representation!r}: not integer counts)"
             )
+        if events_wire:
+            if compact_wire:
+                raise ValueError("events_wire and compact_wire are exclusive")
+            if event_representation != "voxel":
+                raise ValueError(
+                    "events_wire requires event_representation='voxel' — the "
+                    "device voxelizer (ops/voxelize.voxelize_events) builds the "
+                    "signed count voxel; other representations stay host-side"
+                )
         self.compact_wire = compact_wire
+        self.events_wire = events_wire
+        self.event_capacity = int(event_capacity)
         self.geometry = geometry
         self.classes = classes
         self.time_window_us = time_window_us
@@ -320,7 +333,7 @@ class DSECDetDataset:
         seq = self.sequences[si]
         ts0 = int(seq.timestamps[i0])
 
-        if self.compact_wire:
+        if self.compact_wire or self.events_wire:
             rgb = self.load_image_u8(seq, i0)  # /255 (+standardize) runs on device
         else:
             rgb = self.load_image(seq, i0)
@@ -331,6 +344,36 @@ class DSECDetDataset:
 
         t_end = ts0 if self.num_us < 0 else ts0 + self.num_us
         ev = seq.events.window(t_end - self.time_window_us, t_end)
+        if self.events_wire:
+            # 'events' wire: ship the RAW SENSOR STREAM (13 B/event) and let the
+            # jitted train/eval step voxelize + tanh-normalize ON DEVICE
+            # (ops/voxelize.voxelize_events_batched) — the loader escape hatch
+            # when host cores, not the wire, bound the input pipeline
+            # (reference hot spot: dsec_data.py:347-387). Streams beyond
+            # capacity keep the window's FIRST event_capacity events
+            # (serve/engine.py 'events' semantics); pick a capacity >= the max
+            # window population for bit-exact parity with the host voxelizer.
+            cap = self.event_capacity
+            n = min(len(ev["t"]), cap)
+            ex = np.zeros((cap,), np.int16)
+            ey = np.zeros((cap,), np.int16)
+            et = np.zeros((cap,), np.int32)
+            ep = np.zeros((cap,), np.int8)
+            if n:
+                ex[:n] = ev["x"][:n].astype(np.int16)
+                ey[:n] = ev["y"][:n].astype(np.int16)
+                t64 = ev["t"][:n].astype(np.int64)
+                et[:n] = (t64 - t64[0]).astype(np.int32)  # window-relative us
+                ep[:n] = np.where(ev["p"][:n] > 0, 1, -1).astype(np.int8)
+            return {
+                "event_x": ex, "event_y": ey, "event_t": et, "event_p": ep,
+                "event_n": np.int32(n),
+                "rgb": rgb,
+                "annot": self.load_annotations(index),
+                "sequence": seq.name,
+                "timestamp": int(seq.timestamps[i1]),
+                "image_index": i1,
+            }
         voxel = event_representation_np(
             ev["x"].astype(np.int64), ev["y"].astype(np.int64), ev["t"], ev["p"],
             kind=self.event_representation,

@@ -447,7 +447,7 @@ def _single_block(n: int):
     return blk if blk <= 1536 else None
 
 
-def _pick_fwd_blocks(n: int):
+def _pick_fwd_blocks(n: int, for_lse: bool = False):
     """(block_q, block_k, vmem_limit_mb) by sequence length.
 
     v5e sweep at the stage-1 shape (19,200 tokens): 4096x4096 blocks with a
@@ -463,12 +463,23 @@ def _pick_fwd_blocks(n: int):
     sweet range; stage 1 (19,200) picks 3,840 (5x5 grid, same step count as
     the padded 4096 grid), stage 2 (4,800) picks 1,200 (4x4 vs 5x5 padded).
     When no divisor exists, fall back to the minimal-pad candidate
-    (_min_pad_blocks) instead of the old always-pad-to-1024/4096 default.
+    (_min_pad_blocks) instead of the old always-pad-to-1024/4096 default —
+    INFERENCE ONLY. `for_lse=True` (the train forward, which also emits the
+    logsumexp for the Pallas backward) pins the no-divisor fallback to the
+    padded 1024x1024/default-VMEM config: every raised-VMEM minimal-pad
+    variant (fwd 1920@96 with lse, bwd 1920@96, single-block 1456@48) crashes
+    the v5e worker at DDD17 geometry batch 16 in the full train graph
+    (2026-08-21 bisect, /tmp/bisect_*.log protocol in PARITY.md) while b4/b8
+    run fine and the all-1024 leg measures 95.45 ms — a Mosaic/runtime fault
+    we route around, not a perf choice. Exact-fit divisors are unaffected
+    (DSEC's 3840/1200 train grids are the measured round-4 win).
     """
     if n >= 16384:
         for blk in (4096, 3840, 3200, 2560, 2400, 1920):
             if n % blk == 0:
                 return blk, blk, 120
+        if for_lse:
+            return 1024, 1024, 0
         return _min_pad_blocks(
             n,
             ((4096, 120), (3840, 120), (3200, 120), (2560, 96), (2400, 96),
@@ -477,6 +488,8 @@ def _pick_fwd_blocks(n: int):
     for blk in (1200, 1024, 960, 800, 640):
         if n % blk == 0:
             return blk, blk, 0
+    if for_lse:
+        return 1024, 1024, 0
     one = _single_block(n)
     if one is not None:
         return one, one, 48
@@ -522,24 +535,22 @@ def _pick_bwd_blocks(n: int):
     and the sub-1024 exact-fit candidates are too small to feed the MXU.
     Stage-2 (4,800 tokens): 960 exact-fit 4.55 ms ~ 1024 padded 4.60 (noise),
     but exact-fit also drops the 6 pad/slice HBM passes outside the kernel.
+
+    No-divisor fallback is the padded 1024x1024/default-VMEM config: the
+    raised-VMEM minimal-pad bwd variants crash the v5e worker at DDD17
+    geometry batch 16 in the full train graph (see _pick_fwd_blocks docstring
+    — 2026-08-21 bisect; bare-kernel probes of the same shapes pass, so this
+    is an in-graph runtime fault, not a VMEM sizing error we can reason about).
     """
     if n >= 16384:
         for blk in (1920, 2400, 1600):
             if n % blk == 0:
                 return blk, blk, 96
-        return _min_pad_blocks(n, ((1920, 96), (2400, 96), (1600, 96),
-                                   (1024, 0)))
+        return 1024, 1024, 0
     for blk in (960, 1024, 800, 1200):
         if n % blk == 0:
             return blk, blk, 0
-    one = _single_block(n)
-    if one is not None:
-        return one, one, 48
-    return _min_pad_blocks(
-        n,
-        ((1920, 96), (1440, 48), (1200, 0), (1152, 0), (1024, 0), (960, 0),
-         (800, 0)),
-    )
+    return 1024, 1024, 0
 
 
 def _use_pallas_bwd() -> bool:
@@ -547,7 +558,7 @@ def _use_pallas_bwd() -> bool:
 
 
 def _fwd(g, theta, phi):
-    bq, bk, mb = _pick_fwd_blocks(g.shape[1])
+    bq, bk, mb = _pick_fwd_blocks(g.shape[1], for_lse=_use_pallas_bwd())
     if _use_pallas_bwd():
         o, lse = _flash_forward(
             phi, theta, g, block_q=bq, block_k=bk, vmem_limit_mb=mb,

@@ -182,13 +182,40 @@ def make_train_step(
         loss_skip_threshold = config.train.loss_skip_threshold
 
     wire = config.train.input_wire
-    if wire not in ("f32", "compact"):
+    if wire not in ("f32", "compact", "events"):
         raise ValueError(f"unknown TrainConfig.input_wire {wire!r}")
     rgb_mean = jnp.asarray(config.geometry.rgb_mean, jnp.float32)
     rgb_std = jnp.asarray(config.geometry.rgb_std, jnp.float32)
 
     def loss_fn(params, batch_stats, batch, rng):
-        rgb, event = batch["rgb"], batch["event"]
+        if wire == "events":
+            # raw-stream wire (DSECDetDataset(events_wire=True)): the device
+            # rasterizes the padded x/y/t/p streams into the signed count voxel
+            # (exact vs the host voxelizer — integer binning, 3-way agreement
+            # tested) and applies the conditional tanh squash; the host ships
+            # ~13 B/event and does ZERO per-sample voxelization work
+            from frn_tpu.ops.voxelize import (
+                normalize_event_voxel_batched,
+                voxelize_events_batched,
+            )
+
+            geo = config.geometry
+            rgb = batch["rgb"].astype(jnp.float32) / 255.0
+            if config.train.input_rgb_standardize:
+                rgb = (rgb - rgb_mean) / rgb_std
+            event = voxelize_events_batched(
+                batch["event_x"].astype(jnp.int32),
+                batch["event_y"].astype(jnp.int32),
+                batch["event_t"],
+                batch["event_p"].astype(jnp.int32),
+                batch["event_n"],
+                num_bins=geo.event_channels,
+                height=geo.height,
+                width=geo.width,
+            )
+            event = normalize_event_voxel_batched(event)
+        else:
+            rgb, event = batch["rgb"], batch["event"]
         if wire == "compact":
             # uint8 RGB + int8 count voxels off a compact_wire=True dataset;
             # the normalization arithmetic is the host pipeline's exactly

@@ -55,6 +55,15 @@ def test_pick_fwd_blocks_exact_fit_at_production_shapes():
     # 0.3% pad) instead of the padded-1024 grid's 2048 (41%)
     bq, bk, _ = _pick_fwd_blocks(1452)
     assert (bq, bk) == (1456, 1456) and 1456 % 8 == 0
+    # for_lse (train forward): exact-fit divisors keep their grids, but the
+    # no-divisor fallback pins to the padded 1024/default-VMEM config — every
+    # raised-VMEM minimal-pad variant crashes the v5e worker at DDD17 b16 in
+    # the full train graph (2026-08-21 bisect, PARITY.md)
+    for n in (19200, 4800):
+        assert _pick_fwd_blocks(n, for_lse=True) == _pick_fwd_blocks(n)
+    assert _pick_fwd_blocks(5655, for_lse=True) == (1024, 1024, 0)
+    assert _pick_fwd_blocks(1452, for_lse=True) == (1024, 1024, 0)
+    assert _pick_fwd_blocks(19201, for_lse=True) == (1024, 1024, 0)
     # custom 1024x1280 geometry: stage-1 81,920 tokens divide by 4096 exactly
     bq, bk, _ = _pick_fwd_blocks(81920)
     assert 81920 % bq == 0
@@ -148,10 +157,11 @@ def test_pick_bwd_blocks_exact_fit_at_production_shapes():
     assert (bq, bk) == (1920, 1920) and 19200 % bq == 0 and mb == 96
     bq, bk, mb = _pick_bwd_blocks(4800)  # DSEC stage 2: 5x5 grid of 960
     assert (bq, bk) == (960, 960) and 4800 % bq == 0
-    bq, bk, mb = _pick_bwd_blocks(5655)  # DDD17 stage 1: minimal-pad 3x1920
-    assert (bq, bk) == (1920, 1920) and mb == 96
-    bq, bk, _ = _pick_bwd_blocks(1452)  # DDD17 stage 2: single 1456 block
-    assert (bq, bk) == (1456, 1456)
+    # no-divisor counts pin to the padded 1024/default-VMEM config: the
+    # minimal-pad bwd variants (1920@96, single 1456@48) crash the v5e worker
+    # at DDD17 b16 in the full train graph (2026-08-21 bisect, PARITY.md)
+    assert _pick_bwd_blocks(5655) == (1024, 1024, 0)
+    assert _pick_bwd_blocks(1452) == (1024, 1024, 0)
 
 
 def test_lse_output_matches_dense():
