@@ -197,6 +197,15 @@ class EvalConfig:
     # transpose is what pays. Model calls must pass
     # eval_output=eval_output_for(config) (models/detector.py).
     postprocess: str = "pooled_chanlast"
+    # With postprocess='pooled_chanlast': regression rides to the decode as the
+    # FREE (B, HW, A*4) flatten of the NHWC head maps instead of the (B, HWA, 4)
+    # rows relayout (0.64 ms/step @ b16 DSEC in the round-5 device trace); the
+    # pooled decode gathers each candidate's 4-delta slot directly
+    # (core/nms.py pooled_class_aware_nms — bitwise identical deltas).
+    # Default ON: full-graph A/B 155.31/155.4 vs 154.69 img/s (v5e 2026-08-21,
+    # tools/bench_fastpath.py --only pooled_chanlast,reg36 + probe_input_layout
+    # FRN_PROBE_REG36=1). Only consulted when postprocess='pooled_chanlast'.
+    reg_flat36: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

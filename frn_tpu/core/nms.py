@@ -275,7 +275,7 @@ def class_aware_nms(
 
 def pooled_class_aware_nms(
     anchors: jnp.ndarray,  # (A, 4) f32 anchor corners
-    deltas: jnp.ndarray,  # (A, 4) predicted box deltas (any float dtype)
+    deltas: jnp.ndarray,  # (A, 4) box deltas, or (HW, A_cell*4) flat36 maps
     scores: jnp.ndarray,  # (A, K) probabilities, (A, K) logits, or (K, A) logits
     image_shape: Tuple[int, int],
     std=DEFAULT_STD,
@@ -345,7 +345,21 @@ def pooled_class_aware_nms(
             else:
                 vals, idx = _exact_pool_topk(s, t, exact_pool, nonnegative=True)
             pool_scores = vals.astype(jnp.float32)
-        b = decode_boxes(anchors[idx], deltas[idx].astype(jnp.float32), std=std)
+        if deltas.shape[-1] != 4:
+            # flat36 regression ((HW, A_cell*4), the free NHWC flatten —
+            # EvalConfig.reg_flat36): gather the candidate's cell row, then its
+            # anchor's 4-delta slot. Global anchor order is (hw * A_cell + a)
+            # per level, levels concatenated — identical to the rows layout's
+            # reshape order, so idx//A_cell indexes the concatenated cell rows
+            # directly. ~T*A_cell*4 gathered elements replace the full-table
+            # (B, HWA, 4) relayout the device trace measured at 0.64 ms/step.
+            a_cell = deltas.shape[-1] // 4
+            rows = deltas[idx // a_cell]  # (T, A_cell*4)
+            slot = (idx % a_cell)[:, None] * 4 + jnp.arange(4)[None, :]
+            d = jnp.take_along_axis(rows, slot, axis=1)
+        else:
+            d = deltas[idx]
+        b = decode_boxes(anchors[idx], d.astype(jnp.float32), std=std)
         b = clip_boxes(b, image_shape)
         keep = greedy_nms_mask(b, pool_scores, iou_threshold)
         return jnp.where(keep, pool_scores, 0.0), b

@@ -133,10 +133,17 @@ class FRNDetector(nn.Module):
         )
         if eval_output != "probs":
             # pooled-decode fast path: logits in compute dtype, no full-table
-            # f32 casts — decode_detections sigmoids/casts only the NMS pool
+            # f32 casts — decode_detections sigmoids/casts only the NMS pool.
+            # 'logits_chanlast36' additionally keeps regression in the free
+            # (B, HW, A*4) flatten of the NHWC head maps (EvalConfig.reg_flat36)
             classification, regression = apply_heads(
                 cls_head, reg_head, pyramid,
-                cls_mode={"logits": "logits", "logits_chanlast": "logits_chanlast"}[eval_output],
+                cls_mode={
+                    "logits": "logits",
+                    "logits_chanlast": "logits_chanlast",
+                    "logits_chanlast36": "logits_chanlast",
+                }[eval_output],
+                reg_mode="flat36" if eval_output == "logits_chanlast36" else "rows",
             )
             return classification, regression
         if mc.fused_heads and not self.is_initializing():
@@ -166,9 +173,12 @@ def eval_output_for(config: FrameworkConfig) -> str:
     dense/pooled, logits for pooled_logits, class-major logits for
     pooled_chanlast — the measured default, see EvalConfig.postprocess).
     """
-    return {
+    out = {
         "pooled_logits": "logits", "pooled_chanlast": "logits_chanlast",
     }.get(config.eval.postprocess, "probs")
+    if out == "logits_chanlast" and config.eval.reg_flat36:
+        return "logits_chanlast36"
+    return out
 
 
 def image_anchors(config: FrameworkConfig) -> jnp.ndarray:
@@ -216,6 +226,21 @@ def decode_detections(
             f"anchor dim ({a}) at axis {anchor_dim} as postprocess="
             f"{ev.postprocess!r} requires; call the model with "
             "eval_output=eval_output_for(config)"
+        )
+    # reg_flat36: regression rides as (B, HW, A*4) — the free flatten of the
+    # NHWC head maps (A*4 total elements per cell == A anchors x 4 deltas)
+    reg_elems = regression.shape[1] * (regression.shape[2] // 4)
+    if ev.reg_flat36 and ev.postprocess == "pooled_chanlast":
+        if regression.shape[2] == 4 or reg_elems != a:
+            raise ValueError(
+                f"EvalConfig.reg_flat36 expects regression (B, HW, A*4) "
+                f"covering {a} anchors, got {regression.shape}; call the "
+                "model with eval_output=eval_output_for(config)"
+            )
+    elif regression.shape[2] != 4 or regression.shape[1] != a:
+        raise ValueError(
+            f"regression shape {regression.shape} does not match the "
+            f"(B, {a}, 4) layout postprocess={ev.postprocess!r} requires"
         )
     if ev.postprocess != "dense":
         # Pool-first decode: per-class score top-k, then decode/clip only the

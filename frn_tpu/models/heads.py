@@ -37,7 +37,13 @@ class RegressionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
-                 raw: bool = False) -> jnp.ndarray:
+                 raw: bool = False, mode: str = "rows") -> jnp.ndarray:
+        """mode: 'rows' ((B, HWA, 4) — the reference contract) or 'flat36'
+        ((B, HW, A*4): the free row-major flatten of the NHWC output map — no
+        physical relayout. The round-5 device trace measured the 'rows'
+        reshape at 0.64 ms/step @ b16 DSEC (a sublane/lane reshuffle of the
+        full 172,800-anchor P2 table); the pooled postprocess instead gathers
+        its ~400 candidates straight out of the flat36 layout)."""
         for i in range(1, 5):
             x = nn.relu(Conv(self.feature_size, 3, 1, 1, dtype=self.dtype, name=f"conv{i}")(x))
             if mask is not None:
@@ -48,7 +54,9 @@ class RegressionHead(nn.Module):
         )(x)
         if raw:
             return out  # (B, H, W, A*4) NHWC map (packed path slices regions)
-        b = out.shape[0]
+        b, h, w, _ = out.shape
+        if mode == "flat36":
+            return out.reshape(b, h * w, self.num_anchors * 4)
         return out.reshape(b, -1, 4)
 
 
@@ -210,7 +218,7 @@ def fused_dual_heads(
 
 def apply_heads(
     cls_head: nn.Module, reg_head: nn.Module, features: Sequence[jnp.ndarray],
-    packed: bool = False, cls_mode: str = "probs",
+    packed: bool = False, cls_mode: str = "probs", reg_mode: str = "rows",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run shared heads over all pyramid levels, concat along the anchor dim.
 
@@ -224,7 +232,9 @@ def apply_heads(
     packed-canvas path only supports 'probs'."""
     if cls_mode != "probs":
         axis = 2 if cls_mode == "logits_chanlast" else 1
-        regression = jnp.concatenate([reg_head(f) for f in features], axis=1)
+        regression = jnp.concatenate(
+            [reg_head(f, mode=reg_mode) for f in features], axis=1
+        )
         classification = jnp.concatenate(
             [cls_head(f, mode=cls_mode) for f in features], axis=axis
         )

@@ -160,6 +160,41 @@ def test_compact_train_step_matches_f32(fixture_root):
     )
 
 
+def test_auto_input_format_matches_default(fixture_root):
+    """make_inference_fn(input_format='auto') — XLA-chosen argument layouts,
+    inputs delivered via device_put(x, format) — must produce identical
+    detections to the default-layout path (it is the same program; only the
+    physical argument layouts differ)."""
+    from frn_tpu.eval.detections import make_inference_fn
+    from frn_tpu.models.detector import init_detector
+
+    cfg = FrameworkConfig(
+        geometry=TINY,
+        model=ModelConfig(
+            variant="fusion", depth=18, num_classes=2, feature_size=32,
+            attention_chunk=128,
+        ),
+    )
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0))
+    ds = DSECDetDataset(fixture_root, geometry=TINY, time_window_us=100_000)
+    from frn_tpu.data.collate import collate_fixed as _cf
+
+    batch = _cf([ds[0], ds[1]], TINY, batch_size=2)
+    infer_d = make_inference_fn(model, variables, cfg)
+    infer_a = make_inference_fn(model, variables, cfg, input_format="auto")
+    s0, l0, b0 = jax.tree_util.tree_map(
+        np.asarray, infer_d(batch["rgb"], batch["event"])
+    )
+    s1, l1, b1 = jax.tree_util.tree_map(
+        np.asarray, infer_a(batch["rgb"], batch["event"])
+    )
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+    np.testing.assert_allclose(b0, b1, atol=1e-4)
+    with pytest.raises(ValueError, match="input_format"):
+        make_inference_fn(model, variables, cfg, input_format="tiled")
+
+
 def test_inference_fn_rejects_unknown_wire():
     from frn_tpu.eval.detections import make_inference_fn
 

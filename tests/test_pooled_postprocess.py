@@ -135,7 +135,8 @@ def test_batched_pooled_postprocess_shapes():
 
 
 @pytest.mark.parametrize(
-    "postprocess", ["pooled", "pooled_logits", "pooled_chanlast"]
+    "postprocess",
+    ["pooled", "pooled_logits", "pooled_chanlast", "pooled_chanlast+reg36"],
 )
 def test_end_to_end_model_fast_path_matches_dense(postprocess):
     """Tiny-geometry detector: each EvalConfig.postprocess rung reproduces the
@@ -165,15 +166,22 @@ def test_end_to_end_model_fast_path_matches_dense(postprocess):
     cls_d, reg_d = model.apply(variables, rgb, event, train=False)
     ds, dl, db = [np.asarray(o) for o in decode_detections(cls_d, reg_d, base)]
 
+    reg36 = postprocess.endswith("+reg36")
+    postprocess = postprocess.removesuffix("+reg36")
     eval_output = {
         "pooled": "probs", "pooled_logits": "logits",
-        "pooled_chanlast": "logits_chanlast",
+        "pooled_chanlast": "logits_chanlast36" if reg36 else "logits_chanlast",
     }[postprocess]
     cls_f, reg_f = model.apply(
         variables, rgb, event, train=False, eval_output=eval_output
     )
+    if reg36:
+        # flat36 regression: (B, HW, A*4) — the free NHWC flatten
+        assert reg_f.shape[-1] != 4 and reg_f.shape[-1] % 4 == 0
     cfg = dataclasses.replace(
-        base, eval=dataclasses.replace(base.eval, postprocess=postprocess)
+        base, eval=dataclasses.replace(
+            base.eval, postprocess=postprocess, reg_flat36=reg36
+        )
     )
     fs, fl, fb = [np.asarray(o) for o in decode_detections(cls_f, reg_f, cfg)]
 

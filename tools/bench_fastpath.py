@@ -94,7 +94,7 @@ def main():
         return args.batch * args.iters / (time.perf_counter() - t0)
 
     def cfg_for(postprocess="dense", stem=False, approx=True, exp_bf16=False,
-                exact_pool="two_stage", fused_attn=False):
+                exact_pool="two_stage", fused_attn=False, reg36=False):
         return dataclasses.replace(
             base,
             model=dataclasses.replace(
@@ -103,28 +103,33 @@ def main():
             ),
             eval=dataclasses.replace(
                 base.eval, postprocess=postprocess, approx_topk=approx,
-                exact_pool=exact_pool,
+                exact_pool=exact_pool, reg_flat36=reg36,
             ),
         )
 
     outputs = {"dense": "probs", "pooled": "probs", "pooled_logits": "logits",
                "pooled_chanlast": "logits_chanlast"}
     variants = [
-        ("base", "dense", False, False, False),
-        ("pooled", "pooled", False, False, False),
-        ("pooled_logits", "pooled_logits", False, False, False),
-        ("pooled_chanlast", "pooled_chanlast", False, False, False),
-        ("stem", "dense", True, False, False),
-        ("exp_bf16", "dense", False, True, False),
-        ("fused_attn", "pooled_chanlast", False, False, True),
-        ("all", "pooled_chanlast", True, True, False),
+        ("base", "dense", False, False, False, False),
+        ("pooled", "pooled", False, False, False, False),
+        ("pooled_logits", "pooled_logits", False, False, False, False),
+        ("pooled_chanlast", "pooled_chanlast", False, False, False, False),
+        # reg36: + regression emitted as the free (B, HW, A*4) NHWC flatten;
+        # the pooled decode gathers candidate delta slots (EvalConfig.reg_flat36)
+        ("reg36", "pooled_chanlast", False, False, False, True),
+        ("stem", "dense", True, False, False, False),
+        ("exp_bf16", "dense", False, True, False, False),
+        ("fused_attn", "pooled_chanlast", False, False, True, False),
+        ("all", "pooled_chanlast", True, True, False, False),
     ]
     only = set(args.only.split(",")) if args.only else None
-    for name, post, stem, ebf16, fattn in variants:
+    for name, post, stem, ebf16, fattn, reg36 in variants:
         if only is not None and name not in only:
             continue
-        fps = measure(cfg_for(post, stem, exp_bf16=ebf16, fused_attn=fattn),
-                      outputs[post])
+        fps = measure(
+            cfg_for(post, stem, exp_bf16=ebf16, fused_attn=fattn, reg36=reg36),
+            "logits_chanlast36" if reg36 else outputs[post],
+        )
         print(f"{name:18s} approx     {fps:7.2f} img/s", flush=True)
         if args.exact:
             for pool in ("two_stage", "radix"):

@@ -42,12 +42,19 @@ def main():
     from frn_tpu.eval.detections import make_inference_fn
     from frn_tpu.models.detector import image_anchors, init_detector
 
+    import dataclasses
+
     cfg = FrameworkConfig(
         geometry=DSEC,
         model=ModelConfig(
             variant="fusion", depth=50, num_classes=3, compute_dtype="bfloat16"
         ),
     )
+    if os.environ.get("FRN_PROBE_REG36") == "1":
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, reg_flat36=True)
+        )
+        print("reg_flat36=True (flat36 regression emission)")
     model, variables = init_detector(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(
